@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device CPU platform before JAX initializes.
+
+This is the JAX analogue of the reference's only multi-device test pattern
+(replicate on >=2 GPUs in one process and compare with serial execution,
+Synchronized-BatchNorm-PyTorch/tests/test_sync_batchnorm.py): we simulate an
+8-chip mesh with host CPU devices and assert numerical equivalence.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import sys  # noqa: E402
+
+# Make the read-only reference importable for parity fixtures (tests only).
+REFERENCE_ROOT = "/root/reference"
+
+
+def add_reference_to_path():
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
