@@ -1,0 +1,216 @@
+"""Foundational flax modules with exact torch semantics.
+
+These are the building blocks the reference composes out of torch.nn:
+Conv2d (optionally spectral-normalized, reference wraps with
+torch.nn.utils.spectral_norm at architecture.py:40-44 and
+normalization.py:29-31), BatchNorm with torch running-stat conventions
+(replacing the vendored SynchronizedBatchNorm — cross-replica sync is free
+here because jitted reductions over globally-sharded arrays are global), and
+StyleGAN2 noise injection (normalization.py:289-304).
+
+Conventions:
+  * activations NHWC, conv kernels HWIO
+  * params are float32; `dtype` is the compute dtype for convs
+  * `train: bool` toggles batch-stat usage / power-iteration updates
+  * mutable collections: "batch_stats" (running stats), "spectral" (u/v)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Dtype = Any
+
+
+def xavier_normal_torch(gain: float = 0.02) -> Callable:
+    """torch.nn.init.xavier_normal_ for HWIO conv kernels.
+
+    std = gain * sqrt(2 / (fan_in + fan_out)) with fan_in = cin*kh*kw,
+    fan_out = cout*kh*kw (reference init: base_network.py:40, gain 0.02).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape
+        fan_in, fan_out = cin * kh * kw, cout * kh * kw
+        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def _l2_normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+class Conv2d(nn.Module):
+    """torch-parity Conv2d with optional spectral normalization.
+
+    Spectral norm follows torch.nn.utils.spectral_norm exactly: weight
+    flattened to (out, rest), one power iteration per training step updating
+    buffers u (out,) and v (rest,), sigma = u . W v, W_used = W / sigma.
+    Eval mode reuses the stored u/v without iterating.  sigma is invariant to
+    the flatten order, so HWIO vs torch's OIHW layout changes only the
+    (internal) permutation of v.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    spectral: bool = False
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = xavier_normal_torch(0.02)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, cin, self.features))
+
+        if self.spectral:
+            kernel = self._spectral_normalize(kernel, train)
+
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding=(
+                (self.padding[0], self.padding[0]),
+                (self.padding[1], self.padding[1]),
+            ),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+    def _spectral_normalize(self, kernel: jnp.ndarray, train: bool) -> jnp.ndarray:
+        out = self.features
+        rest = kernel.shape[0] * kernel.shape[1] * kernel.shape[2]
+        w_mat = kernel.reshape(rest, out).T  # (out, rest)
+
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: _l2_normalize(
+                jax.random.normal(self.make_rng("params"), (out,))))
+        v_var = self.variable(
+            "spectral", "v",
+            lambda: _l2_normalize(
+                jax.random.normal(self.make_rng("params"), (rest,))))
+
+        u, v = u_var.value, v_var.value
+        if train:
+            w_ng = lax.stop_gradient(w_mat)
+            v = _l2_normalize(w_ng.T @ u)
+            u = _l2_normalize(w_ng @ v)
+            if not self.is_initializing():
+                u_var.value, v_var.value = u, v
+        sigma = jnp.einsum("o,or,r->", u, w_mat, v)
+        return kernel / sigma
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d with exact torch train/eval and running-stat semantics.
+
+    train: normalize with the biased batch variance; update running stats
+    with momentum 0.1 using the *unbiased* variance (torch convention).
+    eval: normalize with running stats.  Under pjit the batch reductions are
+    global across the data axis, giving SyncBN behavior with zero extra code
+    (replaces sync_batchnorm/batchnorm.py:63-126).
+    """
+
+    features: int
+    affine: bool = False
+    eps: float = 1e-5
+    momentum: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+
+        x32 = x.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(1, n - 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x32 - mean) * lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.normal(0.02, jnp.float32),
+                               (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            # torch init_weights: BatchNorm weight ~ N(1.0, gain) (base_network.py:33)
+            y = y * (scale + 1.0) + bias
+        return y.astype(x.dtype)
+
+
+class NoiseInjection(nn.Module):
+    """x + w_c * N(0,1), per-channel learned weight initialized to zero.
+
+    (reference: normalization.py:289-304, StyleGAN2 style; active only in
+    training when --add_noise.)  Uses the "noise" rng stream.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        weight = self.param("weight", nn.initializers.zeros, (self.features,))
+        if noise is None:
+            noise = jax.random.normal(self.make_rng("noise"), x.shape,
+                                      jnp.float32)
+        return x + weight.astype(x.dtype) * noise.astype(x.dtype)
+
+
+class NonSpadeNormConv(nn.Module):
+    """The reference's `get_nonspade_norm_layer` applied to a conv.
+
+    (normalization.py:19-54): optional spectral prefix, then one of
+    none|instance|batch|sync_batch; conv bias is removed when a norm follows.
+    Used throughout the encoders and discriminators.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (1, 1)
+    norm: str = "spectralinstance"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        from deepsee_tpu.config import parse_nonspade_norm
+        from deepsee_tpu.ops.norms import instance_norm_2d
+
+        spectral, sub = parse_nonspade_norm(self.norm)
+        has_norm = sub != "none"
+        y = Conv2d(self.features, self.kernel_size, self.strides, self.padding,
+                   use_bias=not has_norm, spectral=spectral, dtype=self.dtype,
+                   name="conv")(x, train=train)
+        if sub == "instance":
+            y = instance_norm_2d(y)
+        elif sub in ("batch", "sync_batch"):
+            y = TorchBatchNorm(self.features, affine=True, dtype=self.dtype,
+                               name="norm")(y, train=train)
+        return y

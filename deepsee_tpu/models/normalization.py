@@ -1,0 +1,190 @@
+"""Semantic modulation blocks: SPADE, SEAN, PureSEAN (NHWC flax modules).
+
+Rebuilt from the behavior of deepsee_models/networks/normalization.py:71-304.
+
+TPU-first notes:
+  * The reference materializes the per-pixel style image by expanding
+    style (B,19,S) and segmap (B,19,H,W) to a B x 19 x S x H x W tensor and
+    reducing (normalization.py:182-185) — the single most memory-hungry op in
+    the model and the reason for max_fm_size/model-parallel hacks.  Because
+    the segmap is one-hot, that reduction is exactly a batched matmul:
+    (B, H*W, 19) @ (B, 19, S) -> (B, H*W, S).  We express it as an einsum so
+    XLA tiles it onto the MXU with no intermediate blowup.
+  * All segmap resizes use torch-convention nearest (matmul-based, static).
+  * `replicate_fm_resize_quirk`: when H > max_fm_size the reference
+    re-upsamples and accidentally assigns interpolate(actv) to style_map too
+    (normalization.py:188-190, 275-277).  Released 32x checkpoints were
+    trained with this, so it is on by default; turning it off gives the
+    intended style path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from deepsee_tpu.config import ModelConfig, NormGSpec
+from deepsee_tpu.models.layers import Conv2d, TorchBatchNorm
+from deepsee_tpu.ops.norms import instance_norm_2d
+from deepsee_tpu.ops.resize import resize2d
+
+Dtype = Any
+
+_NHIDDEN = 128  # the reference's hardcoded embedding width (normalization.py:95)
+
+
+def style_to_pixels(segmap: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    """One-hot segmap (B,H,W,N) x style matrix (B,N,S) -> style map (B,H,W,S).
+
+    Exact replacement for the reference's expand-multiply-sum
+    (normalization.py:182-185): for one-hot maps the sum over regions is a
+    gather, which we compute as a batched matmul.
+    """
+    return jnp.einsum("bhwn,bns->bhws", segmap, style)
+
+
+class ParamFreeNorm(nn.Module):
+    """The 'param-free' part of SPADE: instance | (sync)batch, affine=False."""
+
+    features: int
+    kind: str  # instance | syncbatch | batch
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        if self.kind == "instance":
+            return instance_norm_2d(x)
+        # syncbatch == batch under jit: reductions over the global batch.
+        return TorchBatchNorm(self.features, affine=False, dtype=self.dtype,
+                              name="param_free_norm")(x, train=train)
+
+
+class SPADE(nn.Module):
+    """Classic SPADE (normalization.py:71-120): y = norm(x)*(1+g) + b with
+    g, b convolved from the nearest-resized one-hot segmap."""
+
+    cfg: ModelConfig
+    norm_nc: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray,
+                 style: Optional[jnp.ndarray] = None, *,
+                 train: bool) -> jnp.ndarray:
+        spec = self.cfg.norm_g_spec
+        ks = spec.kernel_size
+        pad = (ks // 2, ks // 2)
+
+        normalized = ParamFreeNorm(self.norm_nc, spec.param_free_kind,
+                                   self.dtype, name="pfn")(x, train=train)
+
+        seg = resize2d(segmap, x.shape[1:3], method="nearest")
+        actv = nn.relu(Conv2d(_NHIDDEN, (ks, ks), padding=pad, dtype=self.dtype,
+                              name="mlp_shared")(seg.astype(self.dtype)))
+        gamma = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
+                       name="mlp_gamma")(actv)
+        beta = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
+                      name="mlp_beta")(actv)
+        return normalized * (1.0 + gamma) + beta
+
+
+class _SEANCore(nn.Module):
+    """Shared machinery of SEAN_Block / PureSEAN_Block: capped-resolution
+    segmap features + per-pixel style map (normalization.py:167-190,254-277)."""
+
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_hw: Tuple[int, int], segmap: jnp.ndarray,
+                 style: jnp.ndarray):
+        cfg = self.cfg
+        ks = cfg.norm_g_spec.kernel_size
+        pad = (ks // 2, ks // 2)
+        fm_hw = (min(x_hw[0], cfg.max_fm_size), min(x_hw[1], cfg.max_fm_size))
+
+        seg = resize2d(segmap, fm_hw, method="nearest")
+        actv = nn.relu(Conv2d(_NHIDDEN, (ks, ks), padding=pad, dtype=self.dtype,
+                              name="mlp_shared")(seg.astype(self.dtype)))
+        style_map = style_to_pixels(seg, style.astype(seg.dtype)).astype(self.dtype)
+
+        if fm_hw != tuple(x_hw):
+            actv = resize2d(actv, x_hw, method="nearest")
+            if cfg.replicate_fm_resize_quirk:
+                # normalization.py:190/:277 assigns interpolate(actv) to
+                # style_map — requires regional_style_size == 128 (it is).
+                style_map = actv
+            else:
+                style_map = resize2d(style_map, x_hw, method="nearest")
+        return actv, style_map
+
+
+class SEANBlock(nn.Module):
+    """SEAN (normalization.py:123-213): segmap-conditioned gamma/beta blended
+    with style-conditioned gamma/beta by learned sigmoid weights."""
+
+    cfg: ModelConfig
+    norm_nc: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray,
+                 style: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        spec = cfg.norm_g_spec
+        ks = spec.kernel_size
+        pad = (ks // 2, ks // 2)
+
+        normalized = ParamFreeNorm(self.norm_nc, spec.param_free_kind,
+                                   self.dtype, name="pfn")(x, train=train)
+        actv, style_map = _SEANCore(cfg, self.dtype, name="core")(
+            x.shape[1:3], segmap, style)
+
+        gamma = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
+                       name="mlp_gamma")(actv)
+        beta = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
+                      name="mlp_beta")(actv)
+        gamma_s = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
+                         name="mlp_style_gamma")(style_map)
+        beta_s = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
+                        name="mlp_style_beta")(style_map)
+
+        # torch init: nn.Parameter(torch.rand(1)) — uniform [0, 1)
+        alpha_gamma = self.param("alpha_gamma", nn.initializers.uniform(1.0), (1,))
+        alpha_beta = self.param("alpha_beta", nn.initializers.uniform(1.0), (1,))
+        wg = nn.sigmoid(alpha_gamma).astype(self.dtype)
+        wb = nn.sigmoid(alpha_beta).astype(self.dtype)
+
+        scale = wg * gamma_s + (1.0 - wg) * gamma + 1.0
+        offset = wb * beta_s + (1.0 - wb) * beta
+        return normalized * scale + offset
+
+
+class PureSEANBlock(nn.Module):
+    """Style-only SEAN (normalization.py:216-286): y = norm(x)*g_s + b_s.
+    Used for the top-resolution blocks of >=512px models to save memory."""
+
+    cfg: ModelConfig
+    norm_nc: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray,
+                 style: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        spec = cfg.norm_g_spec
+        ks = spec.kernel_size
+        pad = (ks // 2, ks // 2)
+
+        normalized = ParamFreeNorm(self.norm_nc, spec.param_free_kind,
+                                   self.dtype, name="pfn")(x, train=train)
+        _, style_map = _SEANCore(cfg, self.dtype, name="core")(
+            x.shape[1:3], segmap, style)
+
+        gamma_s = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
+                         name="mlp_style_gamma")(style_map)
+        beta_s = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
+                        name="mlp_style_beta")(style_map)
+        return normalized * gamma_s + beta_s

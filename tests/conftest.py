@@ -17,8 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import sys  # noqa: E402
+import types  # noqa: E402
 
 # Make the read-only reference importable for parity fixtures (tests only).
 REFERENCE_ROOT = "/root/reference"
@@ -27,3 +31,18 @@ REFERENCE_ROOT = "/root/reference"
 def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    # The reference package __init__ imports torchvision (for VGG19); no
+    # torchvision in this image, and parity tests never instantiate VGG19.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("torchvision stub: not available in tests")
+
+        tv.models.vgg19 = _unavailable
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+        tr = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision.transforms"] = tr
+        tv.transforms = tr
