@@ -1,0 +1,86 @@
+"""Benchmark: images/sec/chip, 8x 256x256 inference (flagship config).
+
+Measures the jitted end-to-end inference step of the independent 8x model
+(on-device preprocess: one-hot + bicubic HR->LR, mini style encode, generator
+forward) in bfloat16 on one chip, and prints ONE JSON line:
+
+  {"metric": "images_per_sec_8x256_inference", "value": N,
+   "unit": "img/s/chip", "vs_baseline": N / V100_BASELINE_IPS}
+
+Methodology: the jitted step returns a scalar reduction of the output image,
+and each call is timed to the scalar's host arrival — a true data dependency.
+(On the axon-tunneled platform `block_until_ready` returns before compute
+finishes, so enqueue-many-then-block undercounts wildly.)  Median of 12
+timed calls after warmup; the measured time includes per-call dispatch/sync
+overhead, so it is a conservative throughput.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md).  The
+generator forward at 256^2 is ~1.3 TFLOP/image; PyTorch fp32 on a V100
+(15.7 TF peak, conv-heavy eager, SEAN's 5-D style broadcast memory-bound)
+lands around 6 img/s.  BASELINE.json's target is >=5x V100 per chip, i.e.
+vs_baseline >= 5.0 on this scale.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V100_BASELINE_IPS = 6.0
+BATCH = 16
+CALLS = 12
+
+
+def main() -> None:
+    from deepsee_tpu.config import get_preset
+    from deepsee_tpu.system import SRSystem
+
+    exp = get_preset("8x_independent_256x256").replace(is_train=False)
+    system = SRSystem(exp)
+    cfg = exp.model
+
+    variables = system.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image_hr": jnp.asarray(
+            np.tanh(rng.randn(BATCH, cfg.crop_size, cfg.crop_size, 3)),
+            jnp.float32),
+        "label": jnp.asarray(
+            rng.randint(0, cfg.label_nc, (BATCH, cfg.crop_size, cfg.crop_size)),
+            jnp.int32),
+    }
+
+    @jax.jit
+    def infer(g_vars, e_vars, batch):
+        pre = system.preprocess(batch)
+        fake, _, _ = system.generate(g_vars, e_vars, pre, use_full=False,
+                                     no_noise=True, train=False)
+        # scalar output: forces full computation, negligible transfer
+        return jnp.mean(jnp.abs(fake))
+
+    for _ in range(3):  # compile + warmup
+        float(infer(variables.g, variables.e, batch))
+
+    times = []
+    for _ in range(CALLS):
+        t0 = time.perf_counter()
+        float(infer(variables.g, variables.e, batch))
+        times.append(time.perf_counter() - t0)
+
+    ips = BATCH / float(np.median(times))
+    print(json.dumps({
+        "metric": "images_per_sec_8x256_inference",
+        "value": round(ips, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips / V100_BASELINE_IPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,7 +157,9 @@ class FullStyleEncoder(nn.Module):
                                                      train=train)
         y = _FinalHead(cfg, self.dtype, name="final")(y, train=train)
         style = extract_style_matrix(y, seg)
-        if self.with_noise and cfg.noisy_style_scale > 0:
+        # static no_noise=True (pure inference) skips the RNG entirely
+        static_skip = isinstance(no_noise, bool) and no_noise
+        if self.with_noise and cfg.noisy_style_scale > 0 and not static_skip:
             noisy = _StyleNoise(cfg, name="style_noise")(style)
             style = jnp.where(jnp.asarray(no_noise), style, noisy)
         return style
@@ -210,7 +212,8 @@ class CombinedStyleEncoder(nn.Module):
         s_mini = extract_style_matrix(head(y_mini, train=train), seg_mini)
         style = jnp.where(jnp.asarray(use_full), s_full, s_mini)
 
-        if cfg.noisy_style_scale > 0:
+        static_skip = isinstance(no_noise, bool) and no_noise
+        if cfg.noisy_style_scale > 0 and not static_skip:
             noisy = _StyleNoise(cfg, name="style_noise")(style)
             style = jnp.where(jnp.asarray(no_noise), style, noisy)
         return style

@@ -11,8 +11,13 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU in this build crashes in space-to-batch-converter on backward
+# filter convolutions ("Operands to select must be the same shape"); the pass
+# is a small-batch conv optimization we can safely skip on CPU.
+if "space-to-batch-converter" not in flags:
+    flags = (flags + " --xla_disable_hlo_passes=space-to-batch-converter").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
