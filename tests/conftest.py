@@ -8,7 +8,7 @@ Synchronized-BatchNorm-PyTorch/tests/test_sync_batchnorm.py): we simulate an
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: env ships JAX_PLATFORMS=axon
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -21,6 +21,9 @@ os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
+# The axon sitecustomize's register() overrides JAX_PLATFORMS; the config
+# update below is what actually pins tests to the 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -71,8 +71,7 @@ def test_train_step_multichip_matches_single():
             )
         b = shard_batch(batch, mesh)
         step = make_train_step(system, donate=False)
-        with jax.sharding.use_mesh(mesh):
-            state, logs = step(state, b)
+        state, logs = step(state, b)
         return jax.device_get(logs), jax.device_get(
             state.g_vars["params"]["initial"]["kernel"])
 
