@@ -94,7 +94,12 @@ def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict:
 
 
 def _to_np(t) -> np.ndarray:
-    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+    # Copy: tensor.numpy() shares memory with torch, and jax CPU arrays can
+    # zero-copy numpy — without the copy, later in-place torch updates
+    # (e.g. running stats) would silently mutate the imported values.
+    if hasattr(t, "detach"):
+        return np.array(t.detach().cpu().numpy(), copy=True)
+    return np.array(t, copy=True)
 
 
 def import_torch_state(variables: Mapping, state_dict: Mapping[str, Any],
