@@ -1,0 +1,163 @@
+"""The training driver (reference: train.py:18-127).
+
+Epoch/iteration loop over the fused jitted GAN step with:
+  * G step every `d_steps_per_g`-th iteration, D step every iteration
+    (train.py:40-44)
+  * per-epoch TTUR learning-rate decay (trainer_manager.py:76-96)
+  * periodic print / display / save / evaluation hooks driven by
+    IterationCounter's modular triggers (train.py:49-105)
+  * crash-safe checkpointing in a finally block (train.py:119-127)
+  * optional device mesh: batch sharded over "data", generator trunk over
+    "model" (replaces DataParallel + model_parallel_mode)
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from deepsee_tpu.config import Experiment
+from deepsee_tpu.data import DataLoader, create_dataset
+from deepsee_tpu.eval.evaluator import InferenceEvaluator
+from deepsee_tpu.parallel import make_mesh, shard_batch, shard_system_variables
+from deepsee_tpu.system import SRSystem, SystemVariables
+from deepsee_tpu.train.state import (TrainState, create_train_state,
+                                     set_epoch_lr)
+from deepsee_tpu.train.steps import make_train_step
+from deepsee_tpu.utils.checkpoint import CheckpointManager
+from deepsee_tpu.utils.images import tensor2im
+from deepsee_tpu.utils.iter_counter import IterationCounter
+from deepsee_tpu.utils.visualizer import Visualizer
+
+
+class Trainer:
+    def __init__(self, exp: Experiment, continue_train: bool = False):
+        assert exp.is_train
+        self.exp = exp
+        self.system = SRSystem(exp)
+
+        self.mesh = None
+        if exp.mesh.n_devices > 1:
+            self.mesh = make_mesh(exp.mesh)
+
+        self.state = create_train_state(
+            self.system, jax.random.PRNGKey(exp.train.seed))
+        self.ckpt = CheckpointManager(exp)
+        if continue_train and self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            print(f"Restored checkpoint at step {int(self.state.step)}")
+
+        if self.mesh is not None:
+            shard = lambda v, m=True: (  # noqa: E731
+                shard_system_variables(v, self.mesh, m) if v else v)
+            self.state = self.state.replace(
+                g_vars=shard(self.state.g_vars),
+                e_vars=shard(self.state.e_vars, False),
+                d_vars=shard(self.state.d_vars, False),
+                vgg=shard(self.state.vgg, False),
+            )
+
+        self.step_gd = make_train_step(self.system, do_g=True)
+        self.step_d = (make_train_step(self.system, do_g=False)
+                       if exp.train.d_steps_per_g > 1 else None)
+
+    def _device_batch(self, batch: Dict) -> Dict:
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if self.mesh is not None:
+            return shard_batch(arrays, self.mesh)
+        return {k: jax.device_put(v) for k, v in arrays.items()}
+
+    def variables(self) -> SystemVariables:
+        s = self.state
+        return SystemVariables(g=s.g_vars, e=s.e_vars, d=s.d_vars, vgg=s.vgg)
+
+    def run(self, dataloader: Optional[DataLoader] = None,
+            val_loader: Optional[DataLoader] = None,
+            max_steps: Optional[int] = None) -> TrainState:
+        exp = self.exp
+        tc = exp.train
+
+        if dataloader is None:
+            dataset = create_dataset(exp, phase="train")
+            dataloader = DataLoader(dataset, tc.batch_size, shuffle=True,
+                                    drop_last=True, seed=tc.seed)
+
+        counter = IterationCounter(exp, len(dataloader) * tc.batch_size)
+        visualizer = Visualizer(exp)
+        evaluator = None
+        if val_loader is not None or tc.evaluate_val_set:
+            evaluator = InferenceEvaluator(
+                self.system, tc.num_evaluation_samples, compute_fid=False)
+
+        logs: Dict[str, float] = {}
+        try:
+            for epoch in counter.training_epochs():
+                counter.record_epoch_start(epoch)
+                self.state = set_epoch_lr(self.state, exp, epoch)
+                for i, batch in enumerate(dataloader):
+                    device_batch = self._device_batch(batch)
+                    do_g = (i % tc.d_steps_per_g == 0)
+                    step_fn = (self.step_gd if do_g or self.step_d is None
+                               else self.step_d)
+                    self.state, logs = step_fn(self.state, device_batch)
+                    counter.record_one_iteration()
+
+                    if counter.needs_printing():
+                        visualizer.print_current_errors(
+                            epoch, counter.epoch_iter,
+                            jax.device_get(logs), counter.time_per_iter)
+                    if counter.needs_displaying():
+                        self._display(visualizer, device_batch, epoch,
+                                      counter.total_steps_so_far)
+                    if counter.needs_saving():
+                        self.ckpt.save(int(self.state.step), self.state,
+                                       tag="latest")
+                        counter.record_current_iter()
+                    if (evaluator is not None and counter.needs_evaluation()
+                            and epoch >= tc.evaluation_start_epoch):
+                        result = evaluator.run(self.variables(),
+                                               val_loader or dataloader)
+                        counter.append_eval_history(
+                            "metrics_iter.txt",
+                            ",".join(f"{k}={v}" for k, v in result.items()))
+                    if max_steps and int(self.state.step) >= max_steps:
+                        return self.state
+
+                counter.record_epoch_end()
+                if epoch % tc.save_epoch_freq == 0:
+                    self.ckpt.save(int(self.state.step), self.state,
+                                   tag=f"epoch_{epoch}")
+        except KeyboardInterrupt:
+            print("Interrupted — saving 'latest' before exit "
+                  "(train.py:119-127)")
+            raise
+        except Exception:
+            traceback.print_exc()
+            raise
+        finally:
+            try:
+                self.ckpt.save(int(self.state.step), self.state, tag="latest")
+                counter.record_current_iter()
+            except Exception as e:  # noqa: BLE001
+                print(f"crash-save failed: {e}")
+
+        print("Training was successfully finished.")
+        return self.state
+
+    def _display(self, visualizer: Visualizer, device_batch: Dict,
+                 epoch: int, step: int) -> None:
+        pre = self.system.preprocess(device_batch)
+        fake, _, _ = self.system.generate(
+            self.state.g_vars, self.state.e_vars, pre,
+            use_full=self.system.cfg.full_style_image, no_noise=True,
+            train=False)
+        visuals = {
+            "input_label": np.asarray(jax.device_get(pre["label"][0])),
+            "image_lr": np.asarray(jax.device_get(pre["image_lr"][0])),
+            "synthesized_image": np.asarray(jax.device_get(fake[0])),
+            "real_image": np.asarray(jax.device_get(pre["image_hr"][0])),
+        }
+        visualizer.display_current_results(visuals, epoch, step)

@@ -1,0 +1,92 @@
+"""Checkpointing: Orbax save/restore of the full train state + config.
+
+Replaces util/util.py:217-237 (per-network `<epoch>_net_{SR,D,E}.pth` files)
+with Orbax checkpoints of the complete TrainState (params, batch stats,
+spectral u/v, both optimizer states, PRNG key) plus the experiment config
+JSON — crash-safe, multi-host-ready, resumable (base_options.py:196-221
+pickled the argparse options next to the weights for the same reason).
+
+Also exports `save_torch_compatible` so weights can round-trip to the
+reference's .pth layout for cross-framework comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from deepsee_tpu.config import Experiment
+
+
+class CheckpointManager:
+    def __init__(self, exp: Experiment, max_to_keep: int = 5):
+        self.exp = exp
+        self.dir = os.path.abspath(
+            os.path.join(exp.checkpoints_dir, exp.name, "orbax"))
+        os.makedirs(self.dir, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True))
+        # config snapshot next to the weights (base_options.py:196-208)
+        cfg_path = os.path.join(exp.checkpoints_dir, exp.name, "config.json")
+        with open(cfg_path, "w") as f:
+            f.write(exp.to_json())
+
+    def save(self, step: int, state: Any, tag: Optional[str] = None) -> None:
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+        if tag:
+            with open(os.path.join(self.dir, f"{tag}.txt"), "w") as f:
+                f.write(str(step))
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template: Any,
+                step: Optional[int] = None) -> Any:
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoint in {self.dir}")
+        return self.manager.restore(
+            step, args=ocp.args.StandardRestore(state_template))
+
+    def close(self):
+        self.manager.close()
+
+
+def save_torch_compatible(variables: dict, path: str) -> None:
+    """Export a variables dict to the reference's .pth key layout
+    (inverse of utils/torch_import; requires torch)."""
+    import torch
+
+    from deepsee_tpu.utils.torch_import import _flatten, _flax_to_torch_key
+
+    sd = {}
+    params_flat = _flatten(variables.get("params", {}))
+    for coll, tree in variables.items():
+        for p, val in _flatten(tree).items():
+            key = _flax_to_torch_key(p)
+            arr = np.asarray(val)
+            if coll == "params" and p[-1] == "kernel":
+                arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+                if ("spectral" in variables
+                        and _get(variables["spectral"], p[:-1]) is not None):
+                    key = key.replace("weight", "weight_orig")
+            elif coll == "spectral" and p[-1] == "v":
+                kh, kw, cin, _ = params_flat[p[:-1] + ("kernel",)].shape
+                arr = arr.reshape(kh, kw, cin).transpose(2, 0, 1).reshape(-1)
+            sd[key] = torch.from_numpy(np.array(arr))
+    torch.save(sd, path)
+
+
+def _get(tree, path):
+    for k in path:
+        if not isinstance(tree, dict) or k not in tree:
+            return None
+        tree = tree[k]
+    return tree

@@ -1,0 +1,49 @@
+"""Tensor <-> image conversions and IO (reference: util/util.py:72-158)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from deepsee_tpu.regions import colorize_label
+
+
+def tensor2im(x: np.ndarray) -> np.ndarray:
+    """NHWC [-1,1] float -> uint8 (util/util.py:72-103: scale, clip,
+    truncate)."""
+    x = np.asarray(x)
+    y = (x + 1.0) / 2.0 * 255.0
+    return np.clip(y, 0, 255).astype(np.uint8)
+
+
+def label2im(label: np.ndarray, n_label: int = 19) -> np.ndarray:
+    """Integer (or one-hot NHWC) label map -> RGB uint8."""
+    label = np.asarray(label)
+    if label.ndim >= 3 and label.shape[-1] == n_label:  # one-hot
+        label = np.argmax(label, axis=-1)
+    return colorize_label(label, n_label)
+
+
+def save_image(arr_uint8: np.ndarray, path: str, create_dir: bool = False):
+    if create_dir:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    if arr_uint8.ndim == 2:
+        arr_uint8 = np.repeat(arr_uint8[..., None], 3, axis=-1)
+    Image.fromarray(arr_uint8).save(path.replace(".jpg", ".png"))
+
+
+def save_style_matrix(style: np.ndarray, path: str, create_dir: bool = False):
+    """(19, S) style matrix -> CSV (util/util.py:150-158)."""
+    style = np.asarray(style)
+    assert style.ndim == 2, f"expected 2-D style matrix, got {style.shape}"
+    assert path.endswith(".csv")
+    if create_dir:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savetxt(path, style, delimiter=",")
+
+
+def load_style_matrix(path: str) -> np.ndarray:
+    return np.loadtxt(path, delimiter=",").astype(np.float32)
