@@ -30,13 +30,61 @@ from deepsee_tpu.ops.resize import upsample_nearest_2x
 Dtype = Any
 
 
+class Pix2PixResnetBlock(nn.Module):
+    """Plain pix2pixHD resblock (reference: ablation.py:13-29): two
+    reflection-padded 3x3 spectral+instance-normed convs with ReLU."""
+
+    dim: int
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, seg=None, style=None, *,
+                 train: bool = False) -> jnp.ndarray:
+        from deepsee_tpu.models.layers import NonSpadeNormConv
+
+        def pad_reflect(y):
+            return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                           mode="reflect")
+
+        y = NonSpadeNormConv(self.dim, (3, 3), (1, 1), (0, 0),
+                             norm="spectralinstance", dtype=self.dtype,
+                             name="conv_block_0")(pad_reflect(x), train=train)
+        y = nn.relu(y)
+        y = NonSpadeNormConv(self.dim, (3, 3), (1, 1), (0, 0),
+                             norm="spectralinstance", dtype=self.dtype,
+                             name="conv_block_1")(pad_reflect(y), train=train)
+        return x + y
+
+
 class DeepSEEGenerator(nn.Module):
+    """variant: "deepsee" (default) | "nostyle" | "nospade" | "puresean" —
+    the paper's ablation generators (ablation.py:32,125,219): no style
+    injection (plain SPADE blocks), no SPADE at all (pix2pixHD blocks), or
+    all-PureSEAN blocks."""
+
     cfg: ModelConfig
     remat: bool = False
+    variant: str = "deepsee"
 
     @property
     def dtype(self):
         return jnp.dtype(self.cfg.compute_dtype)
+
+    def _block(self, name: str, styled: bool, puresean: bool):
+        cfg = self.cfg
+        nf16 = 16 * cfg.ngf
+        if self.variant == "nospade":
+            return Pix2PixResnetBlock(nf16, cfg, dtype=self.dtype, name=name)
+        if self.variant == "nostyle":
+            styled = False
+        elif self.variant == "puresean":
+            styled, puresean = True, True
+        Block = SPADEResnetBlock
+        if self.remat:
+            Block = nn.remat(SPADEResnetBlock, static_argnums=())
+        return Block(nf16, nf16, cfg, style=styled, puresean=puresean,
+                     dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, lr_image: jnp.ndarray, seg: jnp.ndarray,
@@ -49,30 +97,23 @@ class DeepSEEGenerator(nn.Module):
         n_blocks = cfg.n_blocks
         early_style = not cfg.norm_g_spec.late  # sr.py:33
 
-        Block = SPADEResnetBlock
-        if self.remat:
-            Block = nn.remat(SPADEResnetBlock, static_argnums=())
-
         x = Conv2d(nf16, (3, 3), padding=(1, 1), dtype=self.dtype,
                    name="initial")(lr_image.astype(self.dtype))
 
-        x = Block(nf16, nf16, cfg, style=early_style, dtype=self.dtype,
-                  name="head_0")(x, seg, style, train=train)
+        x = self._block("head_0", early_style, False)(x, seg, style,
+                                                      train=train)
 
         x = upsample_nearest_2x(x)
-        x = Block(nf16, nf16, cfg, style=True, dtype=self.dtype,
-                  name="G_middle_0")(x, seg, style, train=train)
-        x = Block(nf16, nf16, cfg, style=True, dtype=self.dtype,
-                  name="G_middle_1")(x, seg, style, train=train)
+        x = self._block("G_middle_0", True, False)(x, seg, style, train=train)
+        x = self._block("G_middle_1", True, False)(x, seg, style, train=train)
 
         # sr.py:42-52: cap of 4 full blocks for >=512px, PureSEAN beyond.
         max_full = 4 if cfg.load_size >= 512 else 99
         for i in range(n_blocks - 1):
             puresean = (i + 1) >= max_full
             x = upsample_nearest_2x(x)
-            x = Block(nf16, nf16, cfg, style=True, puresean=puresean,
-                      dtype=self.dtype,
-                      name=f"up_{i}")(x, seg, style, train=train)
+            x = self._block(f"up_{i}", True, puresean)(x, seg, style,
+                                                       train=train)
 
         x = Conv2d(3, (3, 3), padding=(1, 1), dtype=self.dtype,
                    name="conv_img")(leaky_relu(x))

@@ -32,6 +32,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import sys  # noqa: E402
 import types  # noqa: E402
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 # Make the read-only reference importable for parity fixtures (tests only).
 REFERENCE_ROOT = "/root/reference"
 
