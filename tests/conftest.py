@@ -41,8 +41,10 @@ REFERENCE_ROOT = "/root/reference"
 
 
 def add_reference_to_path():
+    # Append (not prepend): the reference has top-level demo.py/train.py
+    # that must not shadow this repo's entry points.
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
     # The reference package __init__ imports torchvision (for VGG19); no
     # torchvision in this image, and parity tests never instantiate VGG19.
     if "torchvision" not in sys.modules:
