@@ -204,13 +204,27 @@ class CombinedStyleEncoder(nn.Module):
         cfg = self.cfg
         head = _FinalHead(cfg, self.dtype, name="final")
 
-        y_full = FullTrunk(cfg, self.dtype, name="encoder_full")(
-            x_full.astype(self.dtype), train=train)
-        y_mini = MiniTrunk(cfg, self.dtype, name="encoder_mini")(
-            x_mini.astype(self.dtype), train=train)
-        s_full = extract_style_matrix(head(y_full, train=train), seg_full)
-        s_mini = extract_style_matrix(head(y_mini, train=train), seg_mini)
-        style = jnp.where(jnp.asarray(use_full), s_full, s_mini)
+        # With a static use_full (pure inference), skip the unused trunk
+        # entirely; during init/training both run (training flips a traced
+        # coin, and init must materialize both trunks' params).
+        static = isinstance(use_full, bool) and not self.is_initializing()
+        run_full = (not static) or use_full
+        run_mini = (not static) or not use_full
+
+        s_full = s_mini = None
+        if run_full:
+            y_full = FullTrunk(cfg, self.dtype, name="encoder_full")(
+                x_full.astype(self.dtype), train=train)
+            s_full = extract_style_matrix(head(y_full, train=train), seg_full)
+        if run_mini:
+            y_mini = MiniTrunk(cfg, self.dtype, name="encoder_mini")(
+                x_mini.astype(self.dtype), train=train)
+            s_mini = extract_style_matrix(head(y_mini, train=train), seg_mini)
+
+        if static:
+            style = s_full if use_full else s_mini
+        else:
+            style = jnp.where(jnp.asarray(use_full), s_full, s_mini)
 
         static_skip = isinstance(no_noise, bool) and no_noise
         if cfg.noisy_style_scale > 0 and not static_skip:

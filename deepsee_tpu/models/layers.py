@@ -141,10 +141,12 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,)))
 
-        x32 = x.astype(jnp.float32)
+        # Statistics in float32 via reduction accumulation; elementwise math
+        # stays in x.dtype (no materialized f32 activation copies).
         if train:
-            mean = jnp.mean(x32, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+            mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+            d = x - mean.astype(x.dtype)
+            var = jnp.mean(jnp.square(d), axis=(0, 1, 2), dtype=jnp.float32)
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(1, n - 1))
             if not self.is_initializing():
@@ -154,14 +156,18 @@ class TorchBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x32 - mean) * lax.rsqrt(var + self.eps)
+        inv = lax.rsqrt(var + self.eps)  # (C,), f32
+        scale32 = inv
+        offset32 = -mean * inv
         if self.affine:
             scale = self.param("scale", nn.initializers.normal(0.02, jnp.float32),
                                (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             # torch init_weights: BatchNorm weight ~ N(1.0, gain) (base_network.py:33)
-            y = y * (scale + 1.0) + bias
-        return y.astype(x.dtype)
+            w = scale + 1.0
+            scale32 = scale32 * w
+            offset32 = offset32 * w + bias
+        return x * scale32.astype(x.dtype) + offset32.astype(x.dtype)
 
 
 class NoiseInjection(nn.Module):

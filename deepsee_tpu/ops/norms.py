@@ -19,13 +19,16 @@ def instance_norm_2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     torch semantics (nn.InstanceNorm2d defaults: eps=1e-5, affine=False,
     track_running_stats=False): per-sample, per-channel standardization over
     H and W using the biased variance, in both train and eval modes.
-    Stats are computed in float32 regardless of input dtype.
+
+    Statistics accumulate in float32 (reduction-level, no materialized f32
+    copy of the activation); elementwise math stays in x.dtype so bf16
+    activations never blow up HBM with f32 temporaries.
     """
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    y = (x32 - mean) * lax.rsqrt(var + eps)
-    return y.astype(x.dtype)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    d = x - mean.astype(x.dtype)
+    var = jnp.mean(jnp.square(d), axis=(1, 2), keepdims=True,
+                   dtype=jnp.float32)
+    return d * lax.rsqrt(var + eps).astype(x.dtype)
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
