@@ -25,14 +25,42 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+import flax.linen
+from jax import lax
+
 from deepsee_tpu.config import ModelConfig, NormGSpec
-from deepsee_tpu.models.layers import Conv2d, TorchBatchNorm
+from deepsee_tpu.models.layers import (Conv2d, TorchBatchNorm,
+                                       xavier_normal_torch)
 from deepsee_tpu.ops.norms import instance_norm_2d
 from deepsee_tpu.ops.resize import resize2d
 
 Dtype = Any
 
 _NHIDDEN = 128  # the reference's hardcoded embedding width (normalization.py:95)
+
+
+class ConvParams(nn.Module):
+    """Parameter container shaped exactly like a Conv2d so modulation convs
+    can be weight-folded and fused (see SEANBlock) while keeping the param
+    tree / checkpoint layout identical."""
+
+    cin: int
+    features: int
+    ks: int = 3
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_normal_torch(0.02),
+                            (self.ks, self.ks, self.cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _conv(x, kernel, bias, dtype, pad):
+    y = lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
 
 
 def style_to_pixels(segmap: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
@@ -83,11 +111,18 @@ class SPADE(nn.Module):
         seg = resize2d(segmap, x.shape[1:3], method="nearest")
         actv = nn.relu(Conv2d(_NHIDDEN, (ks, ks), padding=pad, dtype=self.dtype,
                               name="mlp_shared")(seg.astype(self.dtype)))
-        gamma = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
-                       name="mlp_gamma")(actv)
-        beta = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
-                      name="mlp_beta")(actv)
-        return normalized * (1.0 + gamma) + beta
+
+        # gamma/beta convs share their input, so run them as ONE conv with
+        # 2*C outputs; fold the (1 + gamma) into the gamma bias.  Identical
+        # math (conv is linear), half the kernel launches, and XLA fuses the
+        # modulation into the conv epilogue.
+        kg, bg = ConvParams(_NHIDDEN, self.norm_nc, ks, name="mlp_gamma")()
+        kb, bb = ConvParams(_NHIDDEN, self.norm_nc, ks, name="mlp_beta")()
+        kernel = jnp.concatenate([kg, kb], axis=3)
+        bias = jnp.concatenate([bg + 1.0, bb])
+        mod = _conv(actv, kernel, bias, self.dtype, ks // 2)
+        c = self.norm_nc
+        return normalized * mod[..., :c] + mod[..., c:]
 
 
 class _SEANCore(nn.Module):
@@ -142,24 +177,37 @@ class SEANBlock(nn.Module):
         actv, style_map = _SEANCore(cfg, self.dtype, name="core")(
             x.shape[1:3], segmap, style)
 
-        gamma = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
-                       name="mlp_gamma")(actv)
-        beta = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
-                      name="mlp_beta")(actv)
-        gamma_s = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
-                         name="mlp_style_gamma")(style_map)
-        beta_s = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
-                        name="mlp_style_beta")(style_map)
-
         # torch init: nn.Parameter(torch.rand(1)) — uniform [0, 1)
         alpha_gamma = self.param("alpha_gamma", nn.initializers.uniform(1.0), (1,))
         alpha_beta = self.param("alpha_beta", nn.initializers.uniform(1.0), (1,))
-        wg = nn.sigmoid(alpha_gamma).astype(self.dtype)
-        wb = nn.sigmoid(alpha_beta).astype(self.dtype)
+        wg = nn.sigmoid(alpha_gamma)[0]
+        wb = nn.sigmoid(alpha_beta)[0]
 
-        scale = wg * gamma_s + (1.0 - wg) * gamma + 1.0
-        offset = wb * beta_s + (1.0 - wb) * beta
-        return normalized * scale + offset
+        # TPU-native fusion of the reference's 4 convs + sigmoid blend
+        # (normalization.py:192-213): convolution is linear, so
+        #   scale  = wg*conv(style; Kgs) + (1-wg)*conv(actv; Kg) + 1
+        #          = conv(cat[actv, style]; cat[(1-wg)Kg, wg*Kgs]) + bias'
+        # with the +1 folded into the bias — ONE conv with 2*C outputs over
+        # the concatenated 2*NHIDDEN input instead of four convs and three
+        # elementwise blends.  Exactly equal math, and the weight folding is
+        # O(|K|) per step.
+        kg, bg = ConvParams(_NHIDDEN, self.norm_nc, ks, name="mlp_gamma")()
+        kb, bb = ConvParams(_NHIDDEN, self.norm_nc, ks, name="mlp_beta")()
+        kgs, bgs = ConvParams(cfg.regional_style_size, self.norm_nc, ks,
+                              name="mlp_style_gamma")()
+        kbs, bbs = ConvParams(cfg.regional_style_size, self.norm_nc, ks,
+                              name="mlp_style_beta")()
+
+        k_scale = jnp.concatenate([(1.0 - wg) * kg, wg * kgs], axis=2)
+        k_offset = jnp.concatenate([(1.0 - wb) * kb, wb * kbs], axis=2)
+        kernel = jnp.concatenate([k_scale, k_offset], axis=3)
+        bias = jnp.concatenate([(1.0 - wg) * bg + wg * bgs + 1.0,
+                                (1.0 - wb) * bb + wb * bbs])
+
+        inp = jnp.concatenate([actv, style_map], axis=-1)
+        mod = _conv(inp, kernel, bias, self.dtype, ks // 2)
+        c = self.norm_nc
+        return normalized * mod[..., :c] + mod[..., c:]
 
 
 class PureSEANBlock(nn.Module):
@@ -183,8 +231,13 @@ class PureSEANBlock(nn.Module):
         _, style_map = _SEANCore(cfg, self.dtype, name="core")(
             x.shape[1:3], segmap, style)
 
-        gamma_s = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
-                         name="mlp_style_gamma")(style_map)
-        beta_s = Conv2d(self.norm_nc, (ks, ks), padding=pad, dtype=self.dtype,
-                        name="mlp_style_beta")(style_map)
-        return normalized * gamma_s + beta_s
+        # gamma_s/beta_s share their input: one conv with 2*C outputs
+        kgs, bgs = ConvParams(cfg.regional_style_size, self.norm_nc, ks,
+                              name="mlp_style_gamma")()
+        kbs, bbs = ConvParams(cfg.regional_style_size, self.norm_nc, ks,
+                              name="mlp_style_beta")()
+        kernel = jnp.concatenate([kgs, kbs], axis=3)
+        bias = jnp.concatenate([bgs, bbs])
+        mod = _conv(style_map, kernel, bias, self.dtype, ks // 2)
+        c = self.norm_nc
+        return normalized * mod[..., :c] + mod[..., c:]

@@ -9,6 +9,11 @@ Runs the fused GAN step (G update + D update, preprocessing included) on the
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
