@@ -261,10 +261,18 @@ class MeshConfig:
 
     data_axis: int = 1
     model_axis: int = 1
+    # how the "model" axis is used: "tensor" channel-shards the trunk
+    # kernels; "spatial" H-shards activations (conv halo exchange via
+    # GSPMD) — preferred when feature maps dominate memory (512px configs)
+    partition: str = "tensor"
 
     @property
     def n_devices(self) -> int:
         return self.data_axis * self.model_axis
+
+    @property
+    def spatial(self) -> bool:
+        return self.partition == "spatial"
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,11 @@ def collate(samples: List[Dict]) -> Dict:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 shard_index: int = 0, num_shards: int = 1):
+        """shard_index/num_shards: per-host sharding for multi-host meshes —
+        each host reads a disjoint stripe of every (globally shuffled)
+        epoch, the on-device batch dim then shards over the "data" axis."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,10 +47,12 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self) -> List[int]:
@@ -54,6 +60,8 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_index::self.num_shards]
         return idx
 
     def __iter__(self) -> Iterator[Dict]:

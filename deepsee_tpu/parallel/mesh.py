@@ -41,14 +41,26 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_spec() -> P:
-    return P(DATA_AXIS)
+def batch_spec(spatial: bool = False) -> P:
+    """Batch over "data"; with `spatial`, additionally shard H over "model".
+
+    Spatial sharding is the conv-net analogue of context parallelism
+    (SURVEY.md §5.7): activations stay H-sharded through the conv stack and
+    GSPMD inserts the 1-pixel halo exchanges for 3x3 convs over ICI
+    automatically; norm statistics over (H, W) become global reductions
+    under jit.  Preferred over channel sharding for the >=512px configs
+    where feature maps, not weights, dominate memory."""
+    return P(DATA_AXIS, MODEL_AXIS) if spatial else P(DATA_AXIS)
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Shard every array in the batch dict along the leading (batch) dim."""
-    sharding = NamedSharding(mesh, batch_spec())
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                spatial: bool = False) -> Dict[str, Any]:
+    """Shard every array in the batch dict along batch (and optionally H)."""
+    out = {}
+    for k, v in batch.items():
+        spec = batch_spec(spatial and getattr(v, "ndim", 0) >= 3)
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
 
 
 # -- parameter sharding ------------------------------------------------------

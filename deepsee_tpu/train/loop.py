@@ -51,10 +51,11 @@ class Trainer:
             print(f"Restored checkpoint at step {int(self.state.step)}")
 
         if self.mesh is not None:
+            shard_g = not exp.mesh.spatial  # spatial mode replicates params
             shard = lambda v, m=True: (  # noqa: E731
                 shard_system_variables(v, self.mesh, m) if v else v)
             self.state = self.state.replace(
-                g_vars=shard(self.state.g_vars),
+                g_vars=shard(self.state.g_vars, shard_g),
                 e_vars=shard(self.state.e_vars, False),
                 d_vars=shard(self.state.d_vars, False),
                 vgg=shard(self.state.vgg, False),
@@ -67,7 +68,8 @@ class Trainer:
     def _device_batch(self, batch: Dict) -> Dict:
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
         if self.mesh is not None:
-            return shard_batch(arrays, self.mesh)
+            return shard_batch(arrays, self.mesh,
+                               spatial=self.exp.mesh.spatial)
         return {k: jax.device_put(v) for k, v in arrays.items()}
 
     def variables(self) -> SystemVariables:

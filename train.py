@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--niter_decay", type=int, default=None)
     p.add_argument("--data_axis", type=int, default=1)
     p.add_argument("--model_axis", type=int, default=1)
+    p.add_argument("--partition", default="tensor",
+                   choices=("tensor", "spatial"),
+                   help="how the model axis is used (channel vs H sharding)")
     p.add_argument("--continue_train", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic data (smoke testing)")
@@ -75,7 +78,7 @@ def main():
     exp = exp.replace(
         data=data, train=train, model=model,
         checkpoints_dir=args.checkpoints_dir,
-        mesh=MeshConfig(args.data_axis, args.model_axis))
+        mesh=MeshConfig(args.data_axis, args.model_axis, args.partition))
 
     trainer = Trainer(exp, continue_train=args.continue_train)
     trainer.run(max_steps=args.max_steps)
