@@ -238,6 +238,8 @@ class DataConfig:
     serial_batches: bool = False
     max_dataset_size: Optional[int] = None
     no_pairing_check: bool = False
+    cache_filelist_read: bool = False   # image_folder.py files.list cache
+    cache_filelist_write: bool = False
     phase: str = "train"
 
 

@@ -38,13 +38,27 @@ def natural_sort_key(s: str):
             for t in re.split(r"(\d+)", s)]
 
 
-def list_images(directory: str) -> List[str]:
+def list_images(directory: str, read_cache: bool = False,
+                write_cache: bool = False) -> List[str]:
+    """Recursive image listing with an optional `files.list` cache in the
+    directory (reference: data/image_folder.py:36-64,
+    --cache_filelist_read/write)."""
+    cache = os.path.join(directory, "files.list")
+    if read_cache and os.path.exists(cache):
+        with open(cache) as f:
+            return [line.rstrip("\n") for line in f if line.strip()]
     out = []
     for root, _, files in os.walk(directory):
         for f in files:
             if f.lower().endswith(IMG_EXTENSIONS):
                 out.append(os.path.join(root, f))
     out.sort(key=natural_sort_key)
+    if write_cache:
+        try:
+            with open(cache, "w") as f:
+                f.write("\n".join(out))
+        except OSError:
+            pass
     return out
 
 
@@ -66,8 +80,11 @@ class PairedImageDataset:
         self.is_train = self.phase == "train"
         self.rng = _random.Random(0)
 
-        label_paths = list_images(self.data_cfg.label_dir)
-        image_paths = list_images(self.data_cfg.image_dir)
+        dc = self.data_cfg
+        label_paths = list_images(dc.label_dir, dc.cache_filelist_read,
+                                  dc.cache_filelist_write)
+        image_paths = list_images(dc.image_dir, dc.cache_filelist_read,
+                                  dc.cache_filelist_write)
         n = self.data_cfg.max_dataset_size
         if n:
             label_paths, image_paths = label_paths[:n], image_paths[:n]
