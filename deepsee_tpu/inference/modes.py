@@ -55,6 +55,17 @@ def get_noise(key: jax.Array, shape, delta: float,
     return noise
 
 
+def corrupt_style(key: jax.Array, style: jnp.ndarray, eps: float = 0.05,
+                  dist: str = "gaussian") -> jnp.ndarray:
+    """sr_model.py:459-467: additive style corruption with variance eps."""
+    scale = float(np.sqrt(eps))
+    if dist == "gaussian":
+        return jax.random.normal(key, style.shape) * scale + style
+    if dist == "uniform":
+        return (jax.random.uniform(key, style.shape) * 2 - 1) * scale * 1.4 + style
+    raise ValueError(dist)
+
+
 def _tie_consistent(style: jnp.ndarray) -> jnp.ndarray:
     """style[:, r] = style[:, r+1] for the symmetric regions."""
     idx = np.asarray(CONSISTENT_REGIONS)

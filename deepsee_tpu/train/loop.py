@@ -46,6 +46,11 @@ class Trainer:
         self.state = create_train_state(
             self.system, jax.random.PRNGKey(exp.train.seed))
         self.ckpt = CheckpointManager(exp)
+        try:  # source snapshot per run (util/files.py copy_src)
+            from deepsee_tpu.utils.files import copy_src
+            copy_src(f"{exp.checkpoints_dir}/{exp.name}")
+        except Exception as e:  # noqa: BLE001
+            print(f"copy_src failed: {e}")
         if continue_train and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
             print(f"Restored checkpoint at step {int(self.state.step)}")
