@@ -29,6 +29,34 @@ from deepsee_tpu.eval.metrics import (MetricsAccumulator, ms_ssim, psnr,
 from deepsee_tpu.system import SRSystem
 
 
+def get_validation_loader(exp: Experiment, batch_size: Optional[int] = None):
+    """Dataloader over the *_val dirs (evaluation.py:202-217)."""
+    import dataclasses
+
+    from deepsee_tpu.data import DataLoader, create_dataset
+
+    assert exp.data.label_dir_val and exp.data.image_dir_val, (
+        "label_dir_val / image_dir_val required for validation evaluation")
+    val_exp = exp.replace(data=dataclasses.replace(
+        exp.data, label_dir=exp.data.label_dir_val,
+        image_dir=exp.data.image_dir_val, phase="val"))
+    ds = create_dataset(val_exp, phase="val")
+    return DataLoader(ds, batch_size or exp.train.batch_size, shuffle=False,
+                      drop_last=False)
+
+
+def evaluate_set(evaluator: "InferenceEvaluator", variables, loader,
+                 default_fid: float = 500.0) -> Dict[str, float]:
+    """Run evaluation with the reference's exhaustion fallback
+    (evaluation.py:220-262: StopIteration -> FID 500)."""
+    try:
+        return evaluator.run(variables, loader)
+    except StopIteration:
+        print("[!Exception] iterator exhausted during evaluation; "
+              f"logging default FID {default_fid} and continuing...")
+        return {"FID": default_fid}
+
+
 class MetricsCSVWriter:
     """Per-sample metrics CSV (evaluation.py:159-199)."""
 

@@ -95,7 +95,10 @@ class Trainer:
         counter = IterationCounter(exp, len(dataloader) * tc.batch_size)
         visualizer = Visualizer(exp)
         evaluator = None
-        if val_loader is not None or tc.evaluate_val_set:
+        if val_loader is None and tc.evaluate_val_set:
+            from deepsee_tpu.eval.evaluator import get_validation_loader
+            val_loader = get_validation_loader(exp)
+        if val_loader is not None:
             evaluator = InferenceEvaluator(
                 self.system, tc.num_evaluation_samples, compute_fid=False)
 
