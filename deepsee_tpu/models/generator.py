@@ -80,11 +80,20 @@ class DeepSEEGenerator(nn.Module):
             styled = False
         elif self.variant == "puresean":
             styled, puresean = True, True
-        Block = SPADEResnetBlock
-        if self.remat:
-            Block = nn.remat(SPADEResnetBlock, static_argnums=())
-        return Block(nf16, nf16, cfg, style=styled, puresean=puresean,
-                     dtype=self.dtype, name=name)
+        return SPADEResnetBlock(nf16, nf16, cfg, style=styled,
+                                puresean=puresean, dtype=self.dtype, name=name)
+
+    def _apply_block(self, blk, x, seg, style, train: bool):
+        """Per-block rematerialization replaces the reference's --efficient
+        torch.utils.checkpoint (architecture.py:95-122); `train` is closed
+        over so nn.remat sees array args only."""
+        if not self.remat:
+            return blk(x, seg, style, train=train)
+
+        def call(mdl, x, seg, style):
+            return mdl(x, seg, style, train=train)
+
+        return nn.remat(call)(blk, x, seg, style)
 
     @nn.compact
     def __call__(self, lr_image: jnp.ndarray, seg: jnp.ndarray,
@@ -100,20 +109,22 @@ class DeepSEEGenerator(nn.Module):
         x = Conv2d(nf16, (3, 3), padding=(1, 1), dtype=self.dtype,
                    name="initial")(lr_image.astype(self.dtype))
 
-        x = self._block("head_0", early_style, False)(x, seg, style,
-                                                      train=train)
+        x = self._apply_block(self._block("head_0", early_style, False),
+                              x, seg, style, train)
 
         x = upsample_nearest_2x(x)
-        x = self._block("G_middle_0", True, False)(x, seg, style, train=train)
-        x = self._block("G_middle_1", True, False)(x, seg, style, train=train)
+        x = self._apply_block(self._block("G_middle_0", True, False),
+                              x, seg, style, train)
+        x = self._apply_block(self._block("G_middle_1", True, False),
+                              x, seg, style, train)
 
         # sr.py:42-52: cap of 4 full blocks for >=512px, PureSEAN beyond.
         max_full = 4 if cfg.load_size >= 512 else 99
         for i in range(n_blocks - 1):
             puresean = (i + 1) >= max_full
             x = upsample_nearest_2x(x)
-            x = self._block(f"up_{i}", True, puresean)(x, seg, style,
-                                                       train=train)
+            x = self._apply_block(self._block(f"up_{i}", True, puresean),
+                                  x, seg, style, train)
 
         x = Conv2d(3, (3, 3), padding=(1, 1), dtype=self.dtype,
                    name="conv_img")(leaky_relu(x))
