@@ -84,6 +84,26 @@ def test_train_step_multichip_matches_single():
     np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)
 
 
+def test_training_dynamics_overfit_one_batch():
+    """Gradient/TTUR wiring sanity: overfitting one batch must drive the
+    perceptual loss down while the hinge D losses stay near equilibrium."""
+    exp = tiny_test_experiment()
+    system = SRSystem(exp)
+    state = create_train_state(system, jax.random.PRNGKey(0))
+    step = make_train_step(system, donate=False)
+    batch = _batch(exp.model, exp.train.batch_size)
+
+    first = last = None
+    for i in range(40):
+        state, logs = step(state, batch)
+        if i == 0:
+            first = jax.device_get(logs)
+    last = jax.device_get(logs)
+    assert last["VGG"] < 0.7 * first["VGG"], (first["VGG"], last["VGG"])
+    assert 0.05 < last["D_Fake"] < 2.5
+    assert 0.05 < last["D_real"] < 2.5
+
+
 def test_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")
