@@ -7,12 +7,12 @@ forward) in bfloat16 on one chip, and prints ONE JSON line:
   {"metric": "images_per_sec_8x256_inference", "value": N,
    "unit": "img/s/chip", "vs_baseline": N / V100_BASELINE_IPS}
 
-Methodology: the jitted step returns a scalar reduction of the output image,
-and each call is timed to the scalar's host arrival — a true data dependency.
-(On the axon-tunneled platform `block_until_ready` returns before compute
-finishes, so enqueue-many-then-block undercounts wildly.)  Median of 12
-timed calls after warmup; the measured time includes per-call dispatch/sync
-overhead, so it is a conservative throughput.
+Methodology: the jitted step takes the previous step's scalar output as a
+token and folds it into its input, so successive calls form a true on-device
+dependency chain; fetching the final scalar syncs the whole chain.  This
+amortizes the per-call tunnel RTT (~38 ms on axon, where `block_until_ready`
+returns before compute finishes and deep independent enqueues hang — chains
+are kept shallow at 4).  Median over chains after warmup.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).  The
 generator forward at 256^2 is ~1.3 TFLOP/image; PyTorch fp32 on a V100
@@ -57,21 +57,29 @@ def main() -> None:
     }
 
     @jax.jit
-    def infer(g_vars, e_vars, batch):
+    def infer(g_vars, e_vars, batch, token):
+        batch = dict(batch)
+        batch["image_hr"] = batch["image_hr"] + token * 0.0  # chain dep
         pre = system.preprocess(batch)
         fake, _, _ = system.generate(g_vars, e_vars, pre, use_full=False,
                                      no_noise=True, train=False)
         # scalar output: forces full computation, negligible transfer
         return jnp.mean(jnp.abs(fake))
 
-    for _ in range(3):  # compile + warmup
-        float(infer(variables.g, variables.e, batch))
+    def run_chain(depth):
+        token = jnp.float32(0.0)
+        for _ in range(depth):
+            token = infer(variables.g, variables.e, batch, token)
+        return float(token)  # syncs the whole chain
 
+    run_chain(2)  # compile + warmup
+
+    depth = 4
     times = []
-    for _ in range(CALLS):
+    for _ in range(CALLS // depth):
         t0 = time.perf_counter()
-        float(infer(variables.g, variables.e, batch))
-        times.append(time.perf_counter() - t0)
+        run_chain(depth)
+        times.append((time.perf_counter() - t0) / depth)
 
     ips = BATCH / float(np.median(times))
     print(json.dumps({
