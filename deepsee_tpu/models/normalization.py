@@ -69,7 +69,13 @@ def style_to_pixels(segmap: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
     Exact replacement for the reference's expand-multiply-sum
     (normalization.py:182-185): for one-hot maps the sum over regions is a
     gather, which we compute as a batched matmul.
+
+    With contain_dontcare_label the segmap has one extra channel; the
+    dontcare region gets a zero style row (the reference simply crashes on
+    this combination, normalization.py:182-185 shape mismatch).
     """
+    if segmap.shape[-1] == style.shape[1] + 1:
+        style = jnp.pad(style, ((0, 0), (0, 1), (0, 0)))
     return jnp.einsum("bhwn,bns->bhws", segmap, style)
 
 
