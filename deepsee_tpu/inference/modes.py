@@ -262,18 +262,15 @@ def inference_reference(system: SRSystem, variables, batch,
     style_full = system.encode_style(variables.e, batch, use_full=True,
                                      no_noise=True, train=False)
     b = style_full.shape[0]
-    rows = []
-    for i in range(b):
-        cols = []
-        for j in range(b):
-            s = style_full[i:i + 1].at[:, ridx].set(
-                jnp.clip(style_full[j:j + 1, ridx], -1.0, 1.0))
-            s_b = jnp.broadcast_to(s, style_full.shape)
-            one = dict(batch)
-            fake = generate_with_style(system, variables, one, s_b)[i:i + 1]
-            cols.append(fake)
-        rows.append(jnp.concatenate(cols, axis=0))
-    return jnp.stack(rows, axis=0)
+    # one batched generate per donor j: every sample i gets j's rows spliced
+    # into its own style (B generator calls for the full B x B grid)
+    cols = []
+    for j in range(b):
+        donor = jnp.broadcast_to(style_full[j:j + 1, ridx],
+                                 (b,) + style_full[0, ridx].shape)
+        s = style_full.at[:, ridx].set(jnp.clip(donor, -1.0, 1.0))
+        cols.append(generate_with_style(system, variables, batch, s))
+    return jnp.stack(cols, axis=1)  # (B, B, H, W, 3): [recipient, donor]
 
 
 def inference_reference_interpolation(system: SRSystem, variables, batch,
