@@ -24,8 +24,6 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
-
-import flax.linen
 from jax import lax
 
 from deepsee_tpu.config import ModelConfig, NormGSpec
@@ -176,7 +174,6 @@ class SEANBlock(nn.Module):
         cfg = self.cfg
         spec = cfg.norm_g_spec
         ks = spec.kernel_size
-        pad = (ks // 2, ks // 2)
 
         normalized = ParamFreeNorm(self.norm_nc, spec.param_free_kind,
                                    self.dtype, name="pfn")(x, train=train)
@@ -230,7 +227,6 @@ class PureSEANBlock(nn.Module):
         cfg = self.cfg
         spec = cfg.norm_g_spec
         ks = spec.kernel_size
-        pad = (ks // 2, ks // 2)
 
         normalized = ParamFreeNorm(self.norm_nc, spec.param_free_kind,
                                    self.dtype, name="pfn")(x, train=train)
