@@ -59,12 +59,14 @@ def test_torch_export_roundtrip(tmp_path):
     exp = tiny_test_experiment()
     system = SRSystem(exp)
     variables = system.init(jax.random.PRNGKey(0))
-    path = str(tmp_path / "net_SR.pth")
-    save_torch_compatible(variables.g, path)
-    sd = load_torch_checkpoint(path)
-    re_imported = import_torch_state(variables.g, sd, strict=True)
-    for coll in variables.g:
-        flat_a = jax.tree_util.tree_leaves(variables.g[coll])
-        flat_b = jax.tree_util.tree_leaves(re_imported[coll])
-        for a, b in zip(flat_a, flat_b):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for tag, tree in (("SR", variables.g), ("E", variables.e),
+                      ("D", variables.d)):
+        path = str(tmp_path / f"net_{tag}.pth")
+        save_torch_compatible(tree, path)
+        sd = load_torch_checkpoint(path)
+        re_imported = import_torch_state(tree, sd, strict=True)
+        for coll in tree:
+            flat_a = jax.tree_util.tree_leaves(tree[coll])
+            flat_b = jax.tree_util.tree_leaves(re_imported[coll])
+            for a, b in zip(flat_a, flat_b):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
