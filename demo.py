@@ -162,14 +162,19 @@ def main():
     exp = get_preset(args.name).replace(is_train=False)
     demo = Demo(exp)
     if args.checkpoint:
-        from deepsee_tpu.utils.checkpoint import CheckpointManager
-        ckpt = CheckpointManager(exp.replace(checkpoints_dir=args.checkpoint))
+        from deepsee_tpu.system import SRSystem, SystemVariables
         from deepsee_tpu.train.state import create_train_state
+        from deepsee_tpu.utils.checkpoint import CheckpointManager
+
+        # checkpoints hold the full TRAIN state; restore with that template
+        train_exp = exp.replace(is_train=True,
+                                checkpoints_dir=args.checkpoint)
+        ckpt = CheckpointManager(train_exp)
         state = ckpt.restore(create_train_state(
-            demo.system, jax.random.PRNGKey(0)))
-        from deepsee_tpu.system import SystemVariables
+            SRSystem(train_exp), jax.random.PRNGKey(0)))
         demo.variables = SystemVariables(g=state.g_vars, e=state.e_vars,
                                          d=None, vgg=None)
+        print(f"Loaded checkpoint at step {int(state.step)}")
 
     inputs_hr = []
     for spec in args.hr_image:
