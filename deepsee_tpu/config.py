@@ -347,8 +347,11 @@ def get_preset(name: str, **overrides: Any) -> Experiment:
     if "128x128" in name and "8x_" in name:
         m = dataclasses.replace(m, start_size=16, crop_size=128, load_size=128,
                                 add_noise=True)
+        # celeba_dataset.py:38-40 set_defaults: center_crop_and_resize with a
+        # 178px face crop BEFORE the resize (labels still use 'resize' mode
+        # only -- data/datasets.py handles that per-sample).
         d = dataclasses.replace(exp.data, dataset="celeba",
-                                preprocess_mode="resize_and_crop",
+                                preprocess_mode="center_crop_and_resize",
                                 center_crop_size=178)
     elif "256x256" in name and "8x_" in name:
         m = dataclasses.replace(m, start_size=32, crop_size=256, load_size=256,
