@@ -189,6 +189,16 @@ class TrainConfig:
     gradient_clip: float = -1.0     # train_options.py:80 (clip-by-value; -1 = off)
     remat: bool = False             # replaces --efficient gradient checkpointing
 
+    # Pretrained perceptual-network weight files (torchvision-format .pth or
+    # .npz).  The reference trains with torchvision's *pretrained* VGG19
+    # (networks/loss.py:105-119, architecture.py:151-181); without a file the
+    # VGG loss runs on random features — valid wiring, NOT reference-
+    # equivalent training (a loud warning is printed).  inception/alexnet
+    # weights feed the in-training evaluation hook (FID / LPIPS).
+    vgg_weights: str = ""
+    inception_weights: str = ""
+    alexnet_weights: str = ""
+
     # periodic actions (train_options.py:13-20,45-52)
     display_freq: int = 20000
     print_freq: int = 1000

@@ -78,9 +78,10 @@ def load_vgg19_params(path: str) -> dict:
         sd = load_torch_checkpoint(path)
         sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
-    # torchvision feature indices of the first 14 convs (16 incl. unused tail)
+    # torchvision feature indices of the 13 convs through relu5_1 (the last
+    # tapped feature, _TAP_AFTER_CONV[-1]); the tail past relu5_1 is unused
     conv_indices = [i for i, spec in enumerate(
-        _expand_torchvision_indices()) if spec][:14]
+        _expand_torchvision_indices()) if spec][:_TAP_AFTER_CONV[-1]]
     params = {}
     for ci, ti in enumerate(conv_indices):
         w = np.asarray(sd[f"features.{ti}.weight"])

@@ -21,7 +21,7 @@ import numpy as np
 
 from deepsee_tpu.config import Experiment
 from deepsee_tpu.data import DataLoader, create_dataset
-from deepsee_tpu.eval.evaluator import InferenceEvaluator
+from deepsee_tpu.eval.evaluator import InferenceEvaluator, evaluate_set
 from deepsee_tpu.parallel import make_mesh, shard_batch, shard_system_variables
 from deepsee_tpu.system import SRSystem, SystemVariables
 from deepsee_tpu.train.state import (TrainState, create_train_state,
@@ -94,13 +94,10 @@ class Trainer:
 
         counter = IterationCounter(exp, len(dataloader) * tc.batch_size)
         visualizer = Visualizer(exp)
-        evaluator = None
+        evaluator = None  # built lazily at the first evaluation trigger
         if val_loader is None and tc.evaluate_val_set:
             from deepsee_tpu.eval.evaluator import get_validation_loader
             val_loader = get_validation_loader(exp)
-        if val_loader is not None:
-            evaluator = InferenceEvaluator(
-                self.system, tc.num_evaluation_samples, compute_fid=False)
 
         logs: Dict[str, float] = {}
         try:
@@ -126,13 +123,31 @@ class Trainer:
                         self.ckpt.save(int(self.state.step), self.state,
                                        tag="latest")
                         counter.record_current_iter()
-                    if (evaluator is not None and counter.needs_evaluation()
+                    if (counter.needs_evaluation()
                             and epoch >= tc.evaluation_start_epoch):
-                        result = evaluator.run(self.variables(),
-                                               val_loader or dataloader)
-                        counter.append_eval_history(
-                            "metrics_iter.txt",
-                            ",".join(f"{k}={v}" for k, v in result.items()))
+                        if evaluator is None:
+                            evaluator = InferenceEvaluator(
+                                self.system, tc.num_evaluation_samples,
+                                compute_fid=True,
+                                inception_weights=tc.inception_weights or None,
+                                alexnet_weights=tc.alexnet_weights or None)
+                        # reference train.py:85-105: evaluate the training
+                        # set (FID + metrics history), plus the val set when
+                        # --evaluate_val_set; exhaustion -> FID 500 fallback
+                        result = evaluate_set(evaluator, self.variables(),
+                                              dataloader)
+                        counter.record_fid(result.get("FID", 500.0), "train",
+                                           tc.num_evaluation_samples)
+                        counter.record_metrics(result, "train",
+                                               tc.num_evaluation_samples)
+                        if val_loader is not None:
+                            result_val = evaluate_set(
+                                evaluator, self.variables(), val_loader)
+                            counter.record_fid(result_val.get("FID", 500.0),
+                                               "validation",
+                                               tc.num_evaluation_samples)
+                            counter.record_metrics(result_val, "validation",
+                                                   tc.num_evaluation_samples)
                     if max_steps and int(self.state.step) >= max_steps:
                         return self.state
 

@@ -78,6 +78,32 @@ def g_diff_params(state: TrainState) -> Dict:
     return diff
 
 
+def _load_pretrained_vgg(exp: Experiment,
+                         variables: SystemVariables) -> SystemVariables:
+    """Swap the VGG loss net's random init for pretrained torchvision VGG19
+    weights (reference always trains with pretrained VGG,
+    networks/architecture.py:151-158)."""
+    if variables.vgg is None:
+        return variables
+    path = exp.train.vgg_weights
+    if not path:
+        print("WARNING: training with RANDOM VGG19 features for the "
+              "perceptual loss — pass --vgg_weights <torchvision vgg19 .pth> "
+              "for reference-equivalent training (loss.py:105-119).")
+        return variables
+    from deepsee_tpu.models.vgg import load_vgg19_params
+    loaded = load_vgg19_params(path)
+    init_params = variables.vgg["params"]
+    assert set(loaded) == set(init_params), (
+        f"VGG weight file keys mismatch: {sorted(set(init_params) - set(loaded))}")
+    for k, v in loaded.items():
+        assert v.shape == init_params[k].shape, (
+            f"VGG param {k}: file shape {v.shape} != model {init_params[k].shape}")
+    print(f"Loaded pretrained VGG19 perceptual-loss weights from {path}")
+    return SystemVariables(g=variables.g, e=variables.e, d=variables.d,
+                           vgg={**variables.vgg, "params": loaded})
+
+
 def create_train_state(system: SRSystem, key: jax.Array,
                        variables: Optional[SystemVariables] = None
                        ) -> TrainState:
@@ -85,6 +111,8 @@ def create_train_state(system: SRSystem, key: jax.Array,
     k_init, k_state = jax.random.split(key)
     if variables is None:
         variables = system.init(k_init)
+
+    variables = _load_pretrained_vgg(exp, variables)
 
     tx_g = make_g_optimizer(exp.train)
     tx_d = make_d_optimizer(exp.train)

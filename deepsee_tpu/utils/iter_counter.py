@@ -84,6 +84,36 @@ class IterationCounter:
         with open(path, "a") as f:
             f.write(f"{self.current_epoch},{self.total_steps_so_far},{value}\n")
 
+    def _time_string(self) -> str:
+        import datetime
+        return datetime.datetime.now().strftime("%Y/%m/%d-%H:%M:%S")
+
+    def record_fid(self, fid: float, split: str, num_samples: int) -> str:
+        """Append one fid_iter.txt line (util/iter_counter.py:100-108)."""
+        msg = (f"time={self._time_string()},split={split},"
+               f"num_samples={num_samples},epoch={self.current_epoch:03d},"
+               f"total_steps_so_far={self.total_steps_so_far:010d},fid={fid}")
+        with open(os.path.join(self.checkpoints_dir, "fid_iter.txt"),
+                  "a") as f:
+            f.write(msg + os.linesep)
+        print(msg)
+        return msg
+
+    def record_metrics(self, metrics: dict, split: str,
+                       num_samples: int) -> str:
+        """Append one metrics_iter.txt line (util/iter_counter.py:110-121:
+        only keys containing psnr/ssim/rmse are written)."""
+        msg = (f"time={self._time_string()},split={split},"
+               f"num_samples={num_samples},epoch={self.current_epoch:03d},"
+               f"total_steps_so_far={self.total_steps_so_far:010d},")
+        msg += ",".join(f"{k}={v}" for k, v in metrics.items()
+                        if "psnr" in k or "ssim" in k or "rmse" in k)
+        with open(os.path.join(self.checkpoints_dir, "metrics_iter.txt"),
+                  "a") as f:
+            f.write(msg + os.linesep)
+        print(msg)
+        return msg
+
     # periodic triggers (util/iter_counter.py:123-138)
     def needs_printing(self) -> bool:
         return (self.total_steps_so_far %

@@ -48,6 +48,17 @@ def parse_args():
                    help="gradient checkpointing (the reference's --efficient)")
     p.add_argument("--compute_dtype", default=None,
                    choices=("bfloat16", "float32"))
+    p.add_argument("--vgg_weights", default="",
+                   help="torchvision vgg19 state dict (.pth/.npz) for the "
+                        "perceptual loss (reference loss.py:105-119); "
+                        "random features + a loud warning when absent")
+    p.add_argument("--inception_weights", default="",
+                   help="pt_inception FID weights for the in-training eval")
+    p.add_argument("--alexnet_weights", default="",
+                   help="torchvision alexnet weights for in-training LPIPS")
+    p.add_argument("--evaluate_val_set", action="store_true")
+    p.add_argument("--evaluation_freq", type=int, default=None)
+    p.add_argument("--num_evaluation_samples", type=int, default=None)
     return p.parse_args()
 
 
@@ -66,9 +77,17 @@ def main():
     train = exp.train
     for field, value in (("batch_size", args.batch_size), ("lr", args.lr),
                          ("niter", args.niter),
-                         ("niter_decay", args.niter_decay)):
+                         ("niter_decay", args.niter_decay),
+                         ("evaluation_freq", args.evaluation_freq),
+                         ("num_evaluation_samples",
+                          args.num_evaluation_samples)):
         if value is not None:
             train = dataclasses.replace(train, **{field: value})
+    train = dataclasses.replace(
+        train, vgg_weights=args.vgg_weights,
+        inception_weights=args.inception_weights,
+        alexnet_weights=args.alexnet_weights,
+        evaluate_val_set=args.evaluate_val_set or train.evaluate_val_set)
     if args.remat:
         train = dataclasses.replace(train, remat=True)
     model = exp.model
