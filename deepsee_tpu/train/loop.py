@@ -70,6 +70,19 @@ class Trainer:
         self.step_d = (make_train_step(self.system, do_g=False)
                        if exp.train.d_steps_per_g > 1 else None)
 
+    def make_dataloader(self) -> DataLoader:
+        """Train loader; under multi-host (multi-process) JAX each host reads
+        a disjoint stripe of every globally-shuffled epoch — the per-host
+        batch then shards over the mesh "data" axis on device.  (The
+        reference is single-host; this is the TPU-native scale-out path,
+        SURVEY §7 step 5.)"""
+        tc = self.exp.train
+        dataset = create_dataset(self.exp, phase="train")
+        return DataLoader(dataset, tc.batch_size, shuffle=True,
+                          drop_last=True, seed=tc.seed,
+                          shard_index=jax.process_index(),
+                          num_shards=jax.process_count())
+
     def _device_batch(self, batch: Dict) -> Dict:
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
         if self.mesh is not None:
@@ -88,9 +101,7 @@ class Trainer:
         tc = exp.train
 
         if dataloader is None:
-            dataset = create_dataset(exp, phase="train")
-            dataloader = DataLoader(dataset, tc.batch_size, shuffle=True,
-                                    drop_last=True, seed=tc.seed)
+            dataloader = self.make_dataloader()
 
         counter = IterationCounter(exp, len(dataloader) * tc.batch_size)
         visualizer = Visualizer(exp)
