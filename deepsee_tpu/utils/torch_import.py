@@ -158,4 +158,53 @@ def import_torch_state(variables: Mapping, state_dict: Mapping[str, Any],
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     if torch is None:
         raise RuntimeError("torch unavailable; cannot read .pth checkpoints")
-    return torch.load(path, map_location="cpu", weights_only=True)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    # the reference's save_network wraps the state dict as {"model": sd}
+    # (util/util.py:217-224); load_network unwraps it (:238-234)
+    if isinstance(sd, dict) and set(sd) == {"model"}:
+        sd = sd["model"]
+    return sd
+
+
+def import_reference_checkpoint(system, checkpoint_dir: str,
+                                epoch: str = "latest",
+                                variables=None, include_d: bool = False):
+    """Load a released reference checkpoint (`<epoch>_net_{SR,E,D}.pth`,
+    util/util.py:217-237) into SystemVariables for this system.
+
+    `variables`: optional init template (defaults to a fresh system.init).
+    The D net is only loaded with include_d=True (inference doesn't need it).
+    """
+    import os
+
+    import jax
+
+    from deepsee_tpu.system import SystemVariables
+
+    if variables is None:
+        variables = system.init(jax.random.PRNGKey(0))
+
+    def path(tag: str) -> str:
+        return os.path.join(checkpoint_dir, f"{epoch}_net_{tag}.pth")
+
+    g = import_torch_state(variables.g, load_torch_checkpoint(path("SR")),
+                           strict=True)
+    e = variables.e
+    if e is not None and os.path.exists(path("E")):
+        e = import_torch_state(e, load_torch_checkpoint(path("E")),
+                               strict=True)
+    d = variables.d
+    if include_d and os.path.exists(path("D")):
+        if d is None:  # inference systems don't build D; init one to fill
+            from deepsee_tpu.models.discriminator import \
+                MultiscaleDiscriminator
+            cfg = system.cfg
+            disc = system.discriminator or MultiscaleDiscriminator(cfg)
+            x = jnp.zeros((1, cfg.crop_size, cfg.crop_size,
+                           cfg.semantic_nc + cfg.output_nc))
+            d = dict(disc.init(jax.random.PRNGKey(0), x, train=False))
+        d = import_torch_state(d, load_torch_checkpoint(path("D")),
+                               strict=True)
+    print(f"Imported reference checkpoint '{epoch}' from {checkpoint_dir}")
+    return SystemVariables(g=g, e=e, d=d if include_d else None,
+                           vgg=variables.vgg)

@@ -154,6 +154,11 @@ def main():
                    help="path[:r1,r2,...] — HR style image with region list")
     p.add_argument("--checkpoint", default="",
                    help="orbax checkpoint dir (from training) to load")
+    p.add_argument("--torch_checkpoint", default="",
+                   help="directory holding reference-format "
+                        "<epoch>_net_{SR,E}.pth released checkpoints")
+    p.add_argument("--epoch", default="latest",
+                   help="epoch tag of --torch_checkpoint files")
     p.add_argument("--out", default="./results")
     args = p.parse_args()
 
@@ -161,7 +166,12 @@ def main():
 
     exp = get_preset(args.name).replace(is_train=False)
     demo = Demo(exp)
-    if args.checkpoint:
+    if args.torch_checkpoint:
+        from deepsee_tpu.utils.torch_import import import_reference_checkpoint
+
+        demo.variables = import_reference_checkpoint(
+            demo.system, args.torch_checkpoint, epoch=args.epoch)
+    elif args.checkpoint:
         from deepsee_tpu.system import SRSystem, SystemVariables
         from deepsee_tpu.train.state import create_train_state
         from deepsee_tpu.utils.checkpoint import CheckpointManager

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--no_lpips", action="store_true")
     p.add_argument("--no_checkpoint", action="store_true",
                    help="evaluate random-init weights (smoke)")
+    p.add_argument("--torch_checkpoint", default="",
+                   help="directory holding reference-format "
+                        "<epoch>_net_{SR,E}.pth released checkpoints")
+    p.add_argument("--epoch", default="latest")
     p.add_argument("--inception_weights", default="")
     p.add_argument("--alexnet_weights", default="")
     p.add_argument("--out", default="")
@@ -55,7 +59,13 @@ def main():
 
     system = SRSystem(exp)
     variables = system.init(jax.random.PRNGKey(0))
-    if not args.no_checkpoint:
+    if args.torch_checkpoint:
+        from deepsee_tpu.utils.torch_import import import_reference_checkpoint
+
+        variables = import_reference_checkpoint(
+            system, args.torch_checkpoint, epoch=args.epoch,
+            variables=variables)
+    elif not args.no_checkpoint:
         from deepsee_tpu.train.state import create_train_state
         from deepsee_tpu.utils.checkpoint import CheckpointManager
 
