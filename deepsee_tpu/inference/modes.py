@@ -18,6 +18,13 @@ matrix around one generator call:
   baseline_upscale                 bicubic baseline              (:109-115)
   encode_only / generate_with_style                              (:92-108)
 
+TPU-first shape: the reference loops n (or B) eager generator calls per mode;
+here every mode builds its full style stack with vectorized ops and makes ONE
+jitted generator call over a (B*n)-batch (`generate_with_styles`), so the
+device sees a single large compiled program instead of n round trips — on the
+axon tunnel (~38 ms RTT/call) this is the difference between n RTTs + n eager
+dispatches and one.
+
 Region symmetry: CONSISTENT_REGIONS (left eye/brow/ear, upper lip) are tied
 to their partner region when perturbing (sr_model.py:134,153).
 """
@@ -33,6 +40,11 @@ import numpy as np
 from deepsee_tpu.regions import CONSISTENT_REGIONS
 from deepsee_tpu.ops.resize import resize2d
 from deepsee_tpu.system import SRSystem
+
+# batch keys the generator/encoder consume (everything else — paths, ids —
+# stays on host)
+_GEN_KEYS = ("image_lr", "input_semantics")
+_ENC_KEYS = _GEN_KEYS + ("image_hr", "guiding_image", "guiding_label")
 
 
 def _region_indices(system: SRSystem, region_idx) -> np.ndarray:
@@ -67,26 +79,46 @@ def corrupt_style(key: jax.Array, style: jnp.ndarray, eps: float = 0.05,
 
 
 def _tie_consistent(style: jnp.ndarray) -> jnp.ndarray:
-    """style[:, r] = style[:, r+1] for the symmetric regions."""
+    """style[..., r, :] = style[..., r+1, :] for the symmetric regions."""
     idx = np.asarray(CONSISTENT_REGIONS)
-    return style.at[:, idx].set(style[:, idx + 1])
+    return style.at[..., idx, :].set(style[..., idx + 1, :])
+
+
+def _arrays(batch: Dict, keys=_ENC_KEYS) -> Dict:
+    return {k: v for k, v in batch.items()
+            if k in keys and isinstance(v, jnp.ndarray)}
 
 
 def encode_only(system: SRSystem, variables, batch, *,
                 encode_full: Optional[bool] = None) -> jnp.ndarray:
-    """sr_model.py:92-99: the style matrix alone; no noise."""
+    """sr_model.py:92-99: the style matrix alone; no noise (jitted)."""
     if encode_full is None:
         encode_full = system.cfg.full_style_image
-    return system.encode_style(variables.e, batch, use_full=encode_full,
-                               no_noise=True, train=False)
+    return system.encode_jit(variables.e, _arrays(batch), encode_full, True)
 
 
 def generate_with_style(system: SRSystem, variables, batch,
                         style: jnp.ndarray) -> jnp.ndarray:
-    """'demo' mode (sr_model.py:100-108): direct netSR call."""
-    fake, _, _ = system.generate(variables.g, None, batch, style=style,
-                                 train=False)
+    """'demo' mode (sr_model.py:100-108): direct jitted netSR call."""
+    fake, _ = system.generate_jit(variables.g, None, _arrays(batch, _GEN_KEYS),
+                                  style, True, True, None)
     return fake
+
+
+def generate_with_styles(system: SRSystem, variables, batch,
+                         styles: jnp.ndarray) -> jnp.ndarray:
+    """styles (B, n, 19, S) -> fakes (B, n, H, W, 3) in ONE jitted call.
+
+    The (B, n) grid flattens to a (B*n)-batch: inputs repeat n-consecutive
+    (jnp.repeat) so flat index i*n+j is (sample i, style j), matching the
+    row-major styles reshape."""
+    b, n = styles.shape[:2]
+    rep = {k: jnp.repeat(v, n, axis=0)
+           for k, v in _arrays(batch, _GEN_KEYS).items()}
+    flat = styles.reshape((b * n,) + styles.shape[2:])
+    fake, _ = system.generate_jit(variables.g, None, rep, flat, True, True,
+                                  None)
+    return fake.reshape((b, n) + fake.shape[1:])
 
 
 def baseline_upscale(system: SRSystem, batch) -> jnp.ndarray:
@@ -102,18 +134,17 @@ def inference_noise(system: SRSystem, variables, batch, key: jax.Array,
     """sr_model.py:116-129: n random-style variants per input.
 
     Returns (B, n, H, W, 3).  The reference's eval-time encode takes the
-    mini path with a 50% style-noise coin per call (sr_model.py:641-644)."""
+    mini path with a 50% style-noise coin per call (sr_model.py:641-644).
+    One jitted call over the (B*n)-batch; encoder noise differs per variant
+    because each repeat draws its own noise."""
     b = batch["image_lr"].shape[0]
     n = n or b
-    rep = {k: jnp.repeat(v, n, axis=0) for k, v in batch.items()
-           if isinstance(v, jnp.ndarray)}
+    rep = {k: jnp.repeat(v, n, axis=0) for k, v in _arrays(batch).items()}
     k_coin, k_noise = jax.random.split(key)
     no_noise = jax.random.bernoulli(k_coin, 0.5)
-    fake, _, _ = system.generate(
-        variables.g, variables.e, rep, use_full=False, no_noise=no_noise,
-        train=False, rngs={"noise": k_noise})
-    h, w = fake.shape[1:3]
-    return fake.reshape(b, n, h, w, 3)
+    fake = system.generate_coin_jit(variables.g, variables.e, rep, no_noise,
+                                    {"noise": k_noise})
+    return fake.reshape((b, n) + fake.shape[1:])
 
 
 def inference_multi_modal(system: SRSystem, variables, batch, key: jax.Array,
@@ -128,57 +159,50 @@ def inference_multi_modal(system: SRSystem, variables, batch, key: jax.Array,
     ridx = _region_indices(system, region_idx)
 
     style = encode_only(system, variables, batch)
-    b = style.shape[0]
+    b, nc, s = style.shape
 
-    keys = jax.random.split(key, n)
-    fakes, styles = [], []
-    for i in range(n):
-        noise = get_noise(keys[i], (b, len(ridx), style.shape[-1]), delta,
-                          exp.noise_dist)
-        s = style.at[:, ridx].set(
-            jnp.clip(style[:, ridx] + noise, -1.0, 1.0))
-        s = _tie_consistent(s)
-        fakes.append(generate_with_style(system, variables, batch, s))
-        styles.append(s)
-    return jnp.stack(fakes, axis=1), jnp.stack(styles, axis=1)
+    noise = get_noise(key, (b, n, len(ridx), s), delta, exp.noise_dist)
+    styles = jnp.broadcast_to(style[:, None], (b, n, nc, s))
+    styles = styles.at[:, :, ridx].set(
+        jnp.clip(style[:, None, ridx] + noise, -1.0, 1.0))
+    styles = _tie_consistent(styles)
+    return generate_with_styles(system, variables, batch, styles), styles
 
 
 def inference_replace_semantics(system: SRSystem, variables, batch,
                                 regions_replace: Sequence[int] = (10,),
                                 new_region_idx: int = 12):
     """sr_model.py:168-197 (fixed — the reference's version calls an
-    undefined method): generate, relabel regions, regenerate."""
-    fake_before, _, _ = system.generate(variables.g, variables.e, batch,
-                                        use_full=system.cfg.full_style_image,
-                                        no_noise=True, train=False)
+    undefined method): generate, relabel regions, regenerate.  Both the
+    original and relabeled passes run as ONE 2B-batch jitted call."""
     label = batch["label"]
+    relabeled = label
     for rp in regions_replace:
-        label = jnp.where(label == rp, new_region_idx, label)
-    new_batch = dict(batch)
-    new_batch["label"] = label
-    new_batch.pop("input_semantics", None)
-    new_batch = system.preprocess(new_batch)
-    fake_after, _, _ = system.generate(variables.g, variables.e, new_batch,
-                                       use_full=system.cfg.full_style_image,
-                                       no_noise=True, train=False)
-    return fake_before, fake_after
+        relabeled = jnp.where(relabeled == rp, new_region_idx, relabeled)
+
+    big = {k: jnp.concatenate([v, v], axis=0)
+           for k, v in _arrays(batch).items() if k != "input_semantics"}
+    big["label"] = jnp.concatenate([label, relabeled], axis=0)
+    big = system.preprocess_jit(big)
+    fake, _ = system.generate_jit(variables.g, variables.e, _arrays(big),
+                                  None, system.cfg.full_style_image, True,
+                                  None)
+    b = label.shape[0]
+    return fake[:b], fake[b:]
 
 
 def inference_reference_semantics(system: SRSystem, variables, batch):
     """sr_model.py:198-218: each output b uses sample b_sem's semantics.
-    Returns (B, B, H, W, 3): outputs for every (image, semantics) pair."""
-    sem = batch["input_semantics"]
+    Returns (B, B, H, W, 3) — the full (image i, semantics j) grid in one
+    jitted B*B-batch call."""
+    ab = _arrays(batch)
+    sem = ab.pop("input_semantics")
     b = sem.shape[0]
-    outs = []
-    for b_sem in range(b):
-        cur = dict(batch)
-        cur["input_semantics"] = jnp.broadcast_to(sem[b_sem:b_sem + 1],
-                                                  sem.shape)
-        fake, _, _ = system.generate(variables.g, variables.e, cur,
-                                     use_full=system.cfg.full_style_image,
-                                     no_noise=True, train=False)
-        outs.append(fake)
-    return jnp.stack(outs, axis=1)
+    rep = {k: jnp.repeat(v, b, axis=0) for k, v in ab.items()}
+    rep["input_semantics"] = jnp.tile(sem, (b,) + (1,) * (sem.ndim - 1))
+    fake, _ = system.generate_jit(variables.g, variables.e, rep, None,
+                                  system.cfg.full_style_image, True, None)
+    return fake.reshape((b, b) + fake.shape[1:])
 
 
 def inference_interpolation(system: SRSystem, variables, batch,
@@ -195,13 +219,13 @@ def inference_interpolation(system: SRSystem, variables, batch,
 
     if style is None:
         style = encode_only(system, variables, batch)
+    b, nc, s = style.shape
 
-    fakes, styles = [], []
-    for step in np.linspace(-delta, delta, num=n):
-        s = style.at[:, ridx].set(jnp.clip(style[:, ridx] + step, -1.0, 1.0))
-        fakes.append(generate_with_style(system, variables, batch, s))
-        styles.append(s)
-    return jnp.stack(fakes, axis=1), jnp.stack(styles, axis=1)
+    steps = jnp.linspace(-delta, delta, num=n)
+    styles = jnp.broadcast_to(style[:, None], (b, n, nc, s))
+    styles = styles.at[:, :, ridx].set(jnp.clip(
+        style[:, None, ridx] + steps[None, :, None, None], -1.0, 1.0))
+    return generate_with_styles(system, variables, batch, styles), styles
 
 
 def inference_interpolation_style(system: SRSystem, variables, batch,
@@ -211,12 +235,9 @@ def inference_interpolation_style(system: SRSystem, variables, batch,
     """sr_model.py:262-297: lerp between two style matrices."""
     n = n or system.exp.n_interpolation
     assert n % 2 == 1
-    fakes, styles = [], []
-    for t in np.linspace(0.0, 1.0, num=n):
-        s = (1.0 - t) * style_from + t * style_to
-        fakes.append(generate_with_style(system, variables, batch, s))
-        styles.append(s)
-    return jnp.stack(fakes, axis=1), jnp.stack(styles, axis=1)
+    ts = jnp.linspace(0.0, 1.0, num=n)[None, :, None, None]
+    styles = (1.0 - ts) * style_from[:, None] + ts * style_to[:, None]
+    return generate_with_styles(system, variables, batch, styles), styles
 
 
 def inference_particular_combined(system: SRSystem, variables, batch,
@@ -225,8 +246,7 @@ def inference_particular_combined(system: SRSystem, variables, batch,
     """sr_model.py:298-346: mini-encoded style, optionally noise-perturbed
     on selected regions with symmetric regions tied."""
     exp = system.exp
-    style = system.encode_style(variables.e, batch, use_full=False,
-                                no_noise=True, train=False)
+    style = system.encode_jit(variables.e, _arrays(batch), False, True)
     if exp.noise_delta > 0:
         ridx = _region_indices(system, region_idx)
         noise = get_noise(key, (style.shape[0], len(ridx), style.shape[-1]),
@@ -241,36 +261,30 @@ def inference_particular_full(system: SRSystem, variables, batch):
     """sr_model.py:347-380: HR-encoded style; plus the guiding-image variant
     when configured.  Returns dict of images."""
     out = {}
-    style_full = system.encode_style(variables.e, batch, use_full=True,
-                                     no_noise=True, train=False)
+    style_full = system.encode_jit(variables.e, _arrays(batch), True, True)
     out["fake_image_original"] = generate_with_style(system, variables, batch,
                                                      style_full)
     if system.cfg.guiding_style_image and "guiding_image" in batch:
-        gbatch = dict(batch)
         out["fake_image_guiding"] = generate_with_style(
             system, variables, batch,
-            system.encode_style(variables.e, gbatch, use_full=True,
-                                no_noise=True, train=False))
+            system.encode_jit(variables.e, _arrays(batch), True, True))
     return out
 
 
 def inference_reference(system: SRSystem, variables, batch,
                         region_idx: Optional[Sequence[int]] = None):
     """sr_model.py:381-410: for each sample b, splice every other sample's
-    style rows (selected regions) into b's style.  Returns (B,B,H,W,3)."""
+    style rows (selected regions) into b's style.  Returns (B,B,H,W,3):
+    grid[i, j] = recipient i with donor j's rows, one jitted call."""
     ridx = _region_indices(system, region_idx)
-    style_full = system.encode_style(variables.e, batch, use_full=True,
-                                     no_noise=True, train=False)
-    b = style_full.shape[0]
-    # one batched generate per donor j: every sample i gets j's rows spliced
-    # into its own style (B generator calls for the full B x B grid)
-    cols = []
-    for j in range(b):
-        donor = jnp.broadcast_to(style_full[j:j + 1, ridx],
-                                 (b,) + style_full[0, ridx].shape)
-        s = style_full.at[:, ridx].set(jnp.clip(donor, -1.0, 1.0))
-        cols.append(generate_with_style(system, variables, batch, s))
-    return jnp.stack(cols, axis=1)  # (B, B, H, W, 3): [recipient, donor]
+    style_full = system.encode_jit(variables.e, _arrays(batch), True, True)
+    b, nc, s = style_full.shape
+
+    donors = jnp.clip(style_full[:, ridx], -1.0, 1.0)       # (B_donor, R, S)
+    styles = jnp.broadcast_to(style_full[:, None], (b, b, nc, s))
+    styles = styles.at[:, :, ridx].set(
+        jnp.broadcast_to(donors[None], (b, b, len(ridx), s)))
+    return generate_with_styles(system, variables, batch, styles)
 
 
 def inference_reference_interpolation(system: SRSystem, variables, batch,
@@ -285,14 +299,13 @@ def inference_reference_interpolation(system: SRSystem, variables, batch,
              else manipulate_scale)
     ridx = _region_indices(system, region_idx)
 
-    style_full = system.encode_style(variables.e, batch, use_full=True,
-                                     no_noise=True, train=False)
-    b = style_full.shape[0]
+    style_full = system.encode_jit(variables.e, _arrays(batch), True, True)
+    b, nc, s = style_full.shape
     target = jnp.roll(style_full, shift=-1, axis=0) * scale
 
-    fakes = []
-    for t in np.linspace(0.0, 1.0, num=n):
-        s = style_full.at[:, ridx].set(jnp.clip(
-            (1.0 - t) * style_full[:, ridx] + t * target[:, ridx], -1.0, 1.0))
-        fakes.append(generate_with_style(system, variables, batch, s))
-    return jnp.stack(fakes, axis=1)
+    ts = jnp.linspace(0.0, 1.0, num=n)[None, :, None, None]
+    walk = jnp.clip((1.0 - ts) * style_full[:, None, ridx]
+                    + ts * target[:, None, ridx], -1.0, 1.0)
+    styles = jnp.broadcast_to(style_full[:, None], (b, n, nc, s))
+    styles = styles.at[:, :, ridx].set(walk)
+    return generate_with_styles(system, variables, batch, styles)

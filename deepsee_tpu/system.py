@@ -17,6 +17,7 @@ Batch dict convention (all NHWC, float32, device-resident):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.struct
@@ -170,6 +171,46 @@ class SRSystem:
             train=train, rngs=rngs, mutable=MUTABLE if mutable else False)
         fake, mut_g = out if mutable else (out, {})
         return fake, style, (mut_e, mut_g)
+
+    # -- jitted entry points for inference-time callers -----------------------
+    # (the explorative modes and demo; the evaluator/trainer build their own
+    # fused jitted steps).  jax.jit caches per call signature, so a mode
+    # reusing the same shapes costs one compile.
+
+    @functools.cached_property
+    def generate_jit(self):
+        """Jitted generate: (g_vars, e_vars, batch, style, use_full,
+        no_noise, rngs) -> (fake, style).  use_full / no_noise are STATIC
+        Python bools (no_noise=True statically skips the noise RNG); for a
+        traced coin use generate_coin_jit."""
+        def fn(g_vars, e_vars, batch, style, use_full, no_noise, rngs):
+            fake, style_out, _ = self.generate(
+                g_vars, e_vars, batch, style=style, use_full=use_full,
+                no_noise=no_noise, train=False, rngs=rngs)
+            return fake, style_out
+        return jax.jit(fn, static_argnums=(4, 5))
+
+    @functools.cached_property
+    def generate_coin_jit(self):
+        """Like generate_jit but with a TRACED no_noise bernoulli and
+        required rngs (inference_noise's 50% coin, sr_model.py:641-644)."""
+        def fn(g_vars, e_vars, batch, no_noise, rngs):
+            fake, _, _ = self.generate(
+                g_vars, e_vars, batch, style=None, use_full=False,
+                no_noise=no_noise, train=False, rngs=rngs)
+            return fake
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def encode_jit(self):
+        def fn(e_vars, batch, use_full, no_noise):
+            return self.encode_style(e_vars, batch, use_full=use_full,
+                                     no_noise=no_noise, train=False)
+        return jax.jit(fn, static_argnums=(2, 3))
+
+    @functools.cached_property
+    def preprocess_jit(self):
+        return jax.jit(self.preprocess)
 
     # -- discrimination (sr_model.py:655-683) ---------------------------------
 
