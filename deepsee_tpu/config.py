@@ -188,6 +188,10 @@ class TrainConfig:
     gan_mode: str = "hinge"         # train_options.py:76
     gradient_clip: float = -1.0     # train_options.py:80 (clip-by-value; -1 = off)
     remat: bool = False             # replaces --efficient gradient checkpointing
+    # remat flavor: "full" recomputes whole blocks in backward (min memory);
+    # "convs" saves conv outputs and recomputes only the cheap norm/resize
+    # ops — near-zero extra matmul FLOPs, a bit more memory
+    remat_policy: str = "full"
 
     # Pretrained perceptual-network weight files (torchvision-format .pth or
     # .npz).  The reference trains with torchvision's *pretrained* VGG19

@@ -65,6 +65,11 @@ class DeepSEEGenerator(nn.Module):
 
     cfg: ModelConfig
     remat: bool = False
+    # "full": recompute the whole block in backward (min memory, +1 G-fwd
+    # FLOPs); "convs": save conv outputs, recompute only norms/resizes/
+    # modulations (jax.checkpoint_policies.save_only_these_names) — nearly
+    # no extra matmul FLOPs for a modest memory increase
+    remat_policy: str = "full"
     variant: str = "deepsee"
 
     @property
@@ -93,7 +98,11 @@ class DeepSEEGenerator(nn.Module):
         def call(mdl, x, seg, style):
             return mdl(x, seg, style, train=train)
 
-        return nn.remat(call)(blk, x, seg, style)
+        policy = None
+        if self.remat_policy == "convs":
+            import jax
+            policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+        return nn.remat(call, policy=policy)(blk, x, seg, style)
 
     @nn.compact
     def __call__(self, lr_image: jnp.ndarray, seg: jnp.ndarray,

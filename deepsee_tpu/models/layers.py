@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -91,7 +92,10 @@ class Conv2d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(self.dtype)
-        return y
+        # named for selective rematerialization: the "convs" remat policy
+        # saves these (the FLOP-heavy results) and recomputes only the cheap
+        # norm/resize/modulation ops in the backward pass
+        return checkpoint_name(y, "conv_out")
 
     def _spectral_normalize(self, kernel: jnp.ndarray, train: bool) -> jnp.ndarray:
         out = self.features

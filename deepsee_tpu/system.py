@@ -51,7 +51,8 @@ class SRSystem:
         cfg = exp.model
         self.cfg = cfg
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.generator = DeepSEEGenerator(cfg, remat=exp.train.remat)
+        self.generator = DeepSEEGenerator(cfg, remat=exp.train.remat,
+                                          remat_policy=exp.train.remat_policy)
         self.encoder = build_encoder(cfg, dtype) if cfg.use_encoder else None
         self.discriminator = (MultiscaleDiscriminator(cfg, dtype)
                               if exp.is_train else None)

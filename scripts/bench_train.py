@@ -1,82 +1,109 @@
 #!/usr/bin/env python
-"""Training-step throughput benchmark (secondary to bench.py).
+"""Train-step throughput/MFU benchmark (run on the real TPU).
 
-Runs the fused GAN step (G update + D update, preprocessing included) on the
-8x 256^2 config with synthetic data and reports img/s and step latency.
+  python scripts/bench_train.py --name 8x_independent_256x256 \\
+      --batch_size 16 --remat --remat_policy convs --steps 6
 
-  python scripts/bench_train.py [--batch 4] [--preset 8x_independent_256x256]
+Prints one JSON line: ms/step, img/s, and when XLA cost analysis is
+available, executed TFLOP/step and hardware FLOP utilization vs bf16 peak.
+Timing uses a fetched scalar per step (the axon platform's
+block_until_ready returns early; a data-dependent fetch is the only sync).
 """
 
 from __future__ import annotations
 
+import argparse
+import dataclasses
+import json
 import os
 import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import argparse
-import json
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", default="8x_independent_256x256")
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--name", default="8x_independent_256x256")
+    p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_policy", default="full",
+                   choices=("full", "convs"))
+    p.add_argument("--steps", type=int, default=6)
     args = p.parse_args()
-
-    import dataclasses
 
     import jax
     import jax.numpy as jnp
 
     from deepsee_tpu.config import get_preset
     from deepsee_tpu.system import SRSystem
-    from deepsee_tpu.train import create_train_state, make_train_step
+    from deepsee_tpu.train.state import create_train_state
+    from deepsee_tpu.train.steps import make_train_step
 
-    exp = get_preset(args.preset)
+    exp = get_preset(args.name)
     exp = exp.replace(train=dataclasses.replace(
-        exp.train, batch_size=args.batch, remat=args.remat))
+        exp.train, batch_size=args.batch_size, remat=args.remat,
+        remat_policy=args.remat_policy))
+    cfg = exp.model
     system = SRSystem(exp)
     state = create_train_state(system, jax.random.PRNGKey(0))
     step = make_train_step(system, donate=True)
 
-    cfg = exp.model
     rng = np.random.RandomState(0)
+    b = args.batch_size
     batch = {
         "image_hr": jnp.asarray(
-            np.tanh(rng.randn(args.batch, cfg.crop_size, cfg.crop_size, 3)),
+            np.tanh(rng.randn(b, cfg.crop_size, cfg.crop_size, 3)),
             jnp.float32),
         "label": jnp.asarray(
-            rng.randint(0, cfg.label_nc,
-                        (args.batch, cfg.crop_size, cfg.crop_size)),
+            rng.randint(0, cfg.label_nc, (b, cfg.crop_size, cfg.crop_size)),
             jnp.int32),
     }
+    if cfg.guiding_style_image:
+        batch["guiding_image"] = batch["image_hr"]
+        batch["guiding_label"] = batch["label"]
 
-    def once(state):
-        state, logs = step(state, batch)
-        # force execution: fetch one loss scalar
-        _ = float(logs["D_Fake"])
-        return state
+    flops = None
+    try:  # executed FLOPs (includes remat recompute) from XLA cost analysis
+        lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
+                          else step).lower(state, batch)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            flops = float((cost[0] if isinstance(cost, (list, tuple))
+                           else cost).get("flops", 0.0)) or None
+    except Exception as e:  # noqa: BLE001
+        print(f"# cost_analysis unavailable: {e}")
 
-    state = once(state)  # compile
-    state = once(state)
+    t0 = time.perf_counter()
+    state, logs = step(state, batch)
+    _sync = float(jax.device_get(logs["D_real"]))
+    compile_s = time.perf_counter() - t0
+
     times = []
-    for _ in range(args.iters):
+    for _ in range(args.steps):
         t0 = time.perf_counter()
-        state = once(state)
+        state, logs = step(state, batch)
+        _sync = float(jax.device_get(logs["D_real"]))
         times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
-    print(json.dumps({
-        "metric": f"train_step_{cfg.crop_size}px",
-        "batch": args.batch,
-        "step_ms": round(med * 1000, 1),
-        "img_per_sec": round(args.batch / med, 2),
-    }))
+    ms = float(np.median(times)) * 1000.0
+
+    out = {
+        "config": args.name, "batch": b,
+        "remat": args.remat, "remat_policy": args.remat_policy,
+        "ms_per_step": round(ms, 1),
+        "img_per_s": round(b / (ms / 1000.0), 2),
+        "compile_s": round(compile_s, 1),
+    }
+    if flops:
+        tflops_per_step = flops / 1e12
+        out["executed_tflop_per_step"] = round(tflops_per_step, 2)
+        out["hw_flop_utilization"] = round(
+            tflops_per_step / (ms / 1000.0) / V5E_BF16_PEAK_TFLOPS, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing (the reference's --efficient)")
+    p.add_argument("--remat_policy", default="full",
+                   choices=("full", "convs"),
+                   help="full: recompute whole blocks (min memory); convs: "
+                        "save conv outputs, recompute only norms/resizes")
     p.add_argument("--compute_dtype", default=None,
                    choices=("bfloat16", "float32"))
     p.add_argument("--vgg_weights", default="",
@@ -90,6 +94,7 @@ def main():
         evaluate_val_set=args.evaluate_val_set or train.evaluate_val_set)
     if args.remat:
         train = dataclasses.replace(train, remat=True)
+    train = dataclasses.replace(train, remat_policy=args.remat_policy)
     model = exp.model
     if args.compute_dtype:
         model = dataclasses.replace(model, compute_dtype=args.compute_dtype)
