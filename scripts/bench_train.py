@@ -103,6 +103,12 @@ def main():
         out["executed_tflop_per_step"] = round(tflops_per_step, 2)
         out["hw_flop_utilization"] = round(
             tflops_per_step / (ms / 1000.0) / V5E_BF16_PEAK_TFLOPS, 3)
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("peak_bytes_in_use"):
+            out["peak_hbm_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:  # noqa: BLE001
+        pass
     print(json.dumps(out))
 
 
