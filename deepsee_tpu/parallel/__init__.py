@@ -3,5 +3,6 @@ from deepsee_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     shard_system_variables,
+    shard_train_state,
     system_sharding,
 )

@@ -75,21 +75,57 @@ _COLUMN = re.compile(
     r"(conv_0|initial|mlp_gamma|mlp_beta|mlp_style_gamma|mlp_style_beta)$")
 _ROW = re.compile(r"(conv_1)$")
 
+# Auxiliary nets — encoder trunks, PatchGAN discriminators, the VGG loss
+# net — get the same column->row alternation, keyed on module names:
+#   * NLayer D: odd model{N} column / even model{N} row (one psum per pair;
+#     model0's input channels are tiny so "even row" never fires there)
+#   * encoder trunks: down1|conv1 column feeds up_conv|conv2 row
+#   * VGG19 (flat conv{i}_kernel params): odd i column / even i row — the
+#     relu taps all land after row convs, so the perceptual-loss features
+#     come out channel-complete with no extra resharding
+# The width guards keep narrow kernels (< _MIN_SHARD_CH channels, where a
+# shard would drop below the 128-wide lane dimension) replicated.
+_AUX_COLUMN = re.compile(r"(down1|conv1|model\d*[13579])$")
+_AUX_ROW = re.compile(r"(up_conv|conv2|model\d*[02468])$")
+_VGG_KERNEL = re.compile(r"^conv(\d+)_kernel$")
+
 _MIN_SHARD_CH = 128  # don't shard narrow kernels
 
 
-def _spec_for(path: Sequence[str], value, n_model: int) -> P:
+def _spec_for(path: Sequence[str], value, n_model: int,
+              min_shard_ch: int = _MIN_SHARD_CH) -> P:
     if value.ndim != 4 or n_model <= 1:
         return P()
     name = path[-2] if len(path) >= 2 else ""
     kh, kw, cin, cout = value.shape
+    col_ok = cout % n_model == 0 and cout >= min_shard_ch
+    row_ok = cin % n_model == 0 and cin >= min_shard_ch
     # norm_1 modulates conv_1's *input* side (fmiddle) — keep with column
     in_norm_1 = "norm_1" in path
-    if _ROW.search(name) and cin % n_model == 0 and cin >= _MIN_SHARD_CH:
+    if _ROW.search(name) and row_ok:
         return P(None, None, MODEL_AXIS, None)
-    if (_COLUMN.search(name) or in_norm_1) and cout % n_model == 0 \
-            and cout >= _MIN_SHARD_CH:
+    if (_COLUMN.search(name) or in_norm_1) and col_ok:
         return P(None, None, None, MODEL_AXIS)
+    # aux nets wrap their Conv2d in a module named one level up
+    # (NonSpadeNormConv's inner conv is literally called "conv")
+    for comp in path:
+        if _AUX_COLUMN.search(comp):
+            return P(None, None, None, MODEL_AXIS) if col_ok else P()
+        if _AUX_ROW.search(comp):
+            return P(None, None, MODEL_AXIS, None) if row_ok else P()
+    return P()
+
+
+def _vgg_spec(idx: int, value, n_model: int,
+              min_shard_ch: int = _MIN_SHARD_CH) -> P:
+    """Column/row alternation for the flat-named VGG19 conv kernels."""
+    if value.ndim != 4 or n_model <= 1:
+        return P()
+    kh, kw, cin, cout = value.shape
+    if idx % 2 == 1 and cout % n_model == 0 and cout >= min_shard_ch:
+        return P(None, None, None, MODEL_AXIS)
+    if idx % 2 == 0 and cin % n_model == 0 and cin >= min_shard_ch:
+        return P(None, None, MODEL_AXIS, None)
     return P()
 
 
@@ -101,13 +137,14 @@ def _bias_spec_for(path: Sequence[str], kernel_spec: P) -> P:
 
 
 def system_sharding(variables: Dict, mesh: Mesh,
-                    shard_model: bool = True) -> Dict:
+                    shard_model: bool = True,
+                    min_shard_ch: int = _MIN_SHARD_CH) -> Dict:
     """Build a NamedSharding pytree matching a variables pytree.
 
-    Generator trunk kernels get tensor-parallel specs when `shard_model`;
-    everything else is replicated.  Batch-stats/spectral vectors follow their
-    kernels' channel sharding where applicable (kept replicated for
-    simplicity — they are tiny).
+    Generator/encoder/discriminator/VGG conv kernels get tensor-parallel
+    specs when `shard_model`; everything else is replicated.  Batch-stats/
+    spectral vectors follow their kernels' channel sharding where applicable
+    (kept replicated for simplicity — they are tiny).
     """
     n_model = mesh.shape[MODEL_AXIS]
 
@@ -120,8 +157,11 @@ def system_sharding(variables: Dict, mesh: Mesh,
             if isinstance(v, dict):
                 out[k] = walk(v, path + (k,))
             else:
+                m = _VGG_KERNEL.match(k)
                 if k == "kernel" and shard_model:
-                    spec = _spec_for(path + (k,), v, n_model)
+                    spec = _spec_for(path + (k,), v, n_model, min_shard_ch)
+                elif m and shard_model:
+                    spec = _vgg_spec(int(m.group(1)), v, n_model, min_shard_ch)
                 else:
                     spec = P()
                 kernel_specs[k] = spec
@@ -129,16 +169,82 @@ def system_sharding(variables: Dict, mesh: Mesh,
         if "bias" in kernel_specs and "kernel" in kernel_specs:
             out["bias"] = NamedSharding(
                 mesh, _bias_spec_for(path, kernel_specs["kernel"]))
+        for k, spec in kernel_specs.items():
+            m = _VGG_KERNEL.match(k)
+            if m and len(spec) == 4 and spec[3] == MODEL_AXIS:
+                bias_key = f"conv{m.group(1)}_bias"
+                if bias_key in kernel_specs:
+                    out[bias_key] = NamedSharding(mesh, P(MODEL_AXIS))
         return out
 
     return walk(variables, ())
 
 
 def shard_system_variables(variables: Dict, mesh: Mesh,
-                           shard_model: bool = True) -> Dict:
-    shardings = system_sharding(variables, mesh, shard_model)
+                           shard_model: bool = True,
+                           min_shard_ch: int = _MIN_SHARD_CH) -> Dict:
+    shardings = system_sharding(variables, mesh, shard_model, min_shard_ch)
 
     def place(v, s):
         return jax.device_put(v, s)
 
     return jax.tree_util.tree_map(place, variables, shardings)
+
+
+# -- whole-train-state sharding ---------------------------------------------
+
+
+def _map_like(tree, template_shardings, fn):
+    """Apply fn(subtree, shardings) to every subtree of `tree` whose pytree
+    structure matches `template_shardings` (used to hit the Adam mu/nu
+    moments, which mirror the param tree, without hardcoding optax
+    internals)."""
+    tdef = jax.tree_util.tree_structure(template_shardings)
+
+    def is_match(x):
+        try:
+            return jax.tree_util.tree_structure(x) == tdef
+        except Exception:  # noqa: BLE001
+            return False
+
+    def visit(x):
+        return fn(x, template_shardings) if is_match(x) else x
+
+    return jax.tree_util.tree_map(visit, tree, is_leaf=is_match)
+
+
+def shard_train_state(state, mesh: Mesh, shard_model: bool = True,
+                      min_shard_ch: int = _MIN_SHARD_CH):
+    """Shard a TrainState's variables AND its Adam moments over the mesh.
+
+    The optimizer moments mirror the parameter pytrees exactly (optax inits
+    them with zeros_like), so they get the parameters' shardings — without
+    this they'd replicate, costing 2x the param-sharding savings back in
+    f32.  Spatial mode callers pass shard_model=False (params replicated,
+    activations H-sharded)."""
+    place = lambda sub, sh: jax.tree_util.tree_map(  # noqa: E731
+        jax.device_put, sub, sh)
+
+    shard = lambda v, m=True: (  # noqa: E731
+        shard_system_variables(v, mesh, m and shard_model, min_shard_ch)
+        if v else v)
+    new = state.replace(
+        g_vars=shard(state.g_vars),
+        e_vars=shard(state.e_vars),
+        d_vars=shard(state.d_vars),
+        vgg=shard(state.vgg),
+    )
+
+    # G optimizer owns {"g": g_params, "e": e_params}; D optimizer owns the
+    # discriminator params (train/state.py g_diff_params / create_train_state)
+    diff_sh = {"g": system_sharding(new.g_vars, mesh, shard_model,
+                                    min_shard_ch)["params"]}
+    if new.e_vars is not None:
+        diff_sh["e"] = system_sharding(new.e_vars, mesh, shard_model,
+                                       min_shard_ch)["params"]
+    d_sh = system_sharding(new.d_vars, mesh, shard_model,
+                           min_shard_ch)["params"]
+    return new.replace(
+        opt_g=_map_like(new.opt_g, diff_sh, place),
+        opt_d=_map_like(new.opt_d, d_sh, place),
+    )

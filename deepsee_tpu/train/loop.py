@@ -22,7 +22,7 @@ import numpy as np
 from deepsee_tpu.config import Experiment
 from deepsee_tpu.data import DataLoader, create_dataset
 from deepsee_tpu.eval.evaluator import InferenceEvaluator, evaluate_set
-from deepsee_tpu.parallel import make_mesh, shard_batch, shard_system_variables
+from deepsee_tpu.parallel import make_mesh, shard_batch, shard_train_state
 from deepsee_tpu.system import SRSystem, SystemVariables
 from deepsee_tpu.train.state import (TrainState, create_train_state,
                                      set_epoch_lr)
@@ -56,15 +56,11 @@ class Trainer:
             print(f"Restored checkpoint at step {int(self.state.step)}")
 
         if self.mesh is not None:
-            shard_g = not exp.mesh.spatial  # spatial mode replicates params
-            shard = lambda v, m=True: (  # noqa: E731
-                shard_system_variables(v, self.mesh, m) if v else v)
-            self.state = self.state.replace(
-                g_vars=shard(self.state.g_vars, shard_g),
-                e_vars=shard(self.state.e_vars, False),
-                d_vars=shard(self.state.d_vars, False),
-                vgg=shard(self.state.vgg, False),
-            )
+            # tp: generator trunk + encoder/discriminator/VGG kernels
+            # channel-sharded (Megatron col/row) and the Adam moments along
+            # with them; spatial mode replicates params (activations shard)
+            self.state = shard_train_state(
+                self.state, self.mesh, shard_model=not exp.mesh.spatial)
 
         self.step_gd = make_train_step(self.system, do_g=True)
         self.step_d = (make_train_step(self.system, do_g=False)

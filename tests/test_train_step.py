@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from deepsee_tpu.config import tiny_test_experiment, MeshConfig
-from deepsee_tpu.parallel import make_mesh, shard_batch, shard_system_variables
+from deepsee_tpu.parallel import make_mesh, shard_batch, shard_train_state
 from deepsee_tpu.system import SRSystem
 from deepsee_tpu.train import create_train_state, make_train_step
 
@@ -63,12 +63,22 @@ def test_train_step_multichip_matches_single():
         mesh = make_mesh(mesh_cfg)
         state = create_train_state(system, jax.random.PRNGKey(0))
         if shard:
-            state = state.replace(
-                g_vars=shard_system_variables(state.g_vars, mesh),
-                e_vars=shard_system_variables(state.e_vars, mesh, False),
-                d_vars=shard_system_variables(state.d_vars, mesh, False),
-                vgg=shard_system_variables(state.vgg, mesh, False),
-            )
+            # min_shard_ch lowered so the tiny aux nets (D/encoder/VGG)
+            # actually exercise their column/row tensor-parallel specs
+            state = shard_train_state(state, mesh, min_shard_ch=8)
+            from jax.sharding import PartitionSpec as P
+            d_kernel = state.d_vars["params"]["discriminator_0"]["model3"][
+                "conv"]["kernel"]
+            assert d_kernel.sharding.spec == P(None, None, None, "model"), (
+                "D model3 should be column-sharded")
+            vgg_kernel = state.vgg["params"]["conv9_kernel"]
+            assert vgg_kernel.sharding.spec == P(None, None, None, "model"), (
+                "VGG conv9 should be column-sharded")
+            # Adam moments follow the param shardings (not replicated)
+            mu = state.opt_g.inner_state[0].mu
+            g_k = mu["g"]["initial"]["kernel"]
+            assert g_k.sharding == state.g_vars["params"]["initial"][
+                "kernel"].sharding, "opt moments must shard like params"
         b = shard_batch(batch, mesh)
         step = make_train_step(system, donate=False)
         state, logs = step(state, b)
