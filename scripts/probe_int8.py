@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Probe: does int8 conv beat bf16 on this TPU for DeepSEE's hot shapes?
+
+v5e advertises 394 TOPS int8 vs 197 TFLOPS bf16.  If XLA lowers s8xs8->s32
+convolutions onto the int8 MXU path, a quantized serving mode could ~2x the
+conv-bound generator.  This measures the raw conv ratio at the generator's
+dominant shapes before building anything.
+
+Prints one JSON line per (shape, dtype) with ms and effective TFLOP/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# (batch, H, W, cin, cout) — the 512-channel trunk at the block sizes that
+# dominate 8x 256^2 inference FLOPs (cin == cout so the chain can feed back)
+SHAPES = [
+    (16, 64, 64, 512, 512),
+    (16, 128, 128, 512, 512),
+    (16, 256, 256, 64, 64),
+]
+
+
+CHAIN = 32  # convs per jit call: amortizes the ~38 ms tunnel RTT per fetch
+
+
+@partial(jax.jit, static_argnums=(2,))
+def conv_chain(x, k, acc_dtype):
+    """CHAIN data-dependent convs; one fetched scalar syncs the whole chain.
+
+    The carry is perturbed by a y-derived term each step so XLA cannot hoist
+    or dedup the convolutions."""
+
+    def body(carry, _):
+        y = lax.conv_general_dilated(
+            carry, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=acc_dtype)
+        s = jnp.sum(y[0, 0, 0, :].astype(jnp.float32))
+        if carry.dtype == jnp.int8:
+            nxt = carry + (s.astype(jnp.int32) % 2).astype(jnp.int8)
+        else:
+            nxt = carry + (s % 2.0).astype(carry.dtype) * 1e-6
+        return nxt, s
+
+    final, ss = lax.scan(body, x, None, length=CHAIN)
+    return jnp.sum(ss)
+
+
+def bench_one(b, h, w, cin, cout, dtype, acc, steps=5):
+    rng = np.random.RandomState(0)
+    if dtype == jnp.int8:
+        x = jnp.asarray(rng.randint(-2, 2, (b, h, w, cin)), jnp.int8)
+        k = jnp.asarray(rng.randint(-2, 2, (3, 3, cin, cout)), jnp.int8)
+    else:
+        x = jnp.asarray(rng.randn(b, h, w, cin) * 0.01, dtype)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.01, dtype)
+    assert cin == cout, "chain benchmark needs cin == cout"
+    # compile + warm
+    float(jax.device_get(conv_chain(x, k, acc)))
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        float(jax.device_get(conv_chain(x, k, acc)))
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) * 1000.0 / CHAIN
+    flops = 2 * b * h * w * cin * cout * 9
+    return ms, flops / (ms / 1000.0) / 1e12
+
+
+def main():
+    print(f"# devices: {jax.devices()}")
+    for (b, h, w, cin, cout) in SHAPES:
+        for name, dtype, acc in [("bf16", jnp.bfloat16, jnp.float32),
+                                 ("int8", jnp.int8, jnp.int32)]:
+            try:
+                ms, tflops = bench_one(b, h, w, cin, cout, dtype, acc)
+                print(json.dumps({
+                    "shape": [b, h, w, cin, cout], "dtype": name,
+                    "ms": round(ms, 3), "tflops": round(tflops, 1)}))
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({
+                    "shape": [b, h, w, cin, cout], "dtype": name,
+                    "error": str(e)[:200]}))
+
+
+if __name__ == "__main__":
+    main()
