@@ -68,15 +68,26 @@ def main():
         batch["guiding_label"] = batch["label"]
 
     flops = None
+    mem = {}
     try:  # executed FLOPs (includes remat recompute) from XLA cost analysis
         lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
                           else step).lower(state, batch)
-        cost = lowered.compile().cost_analysis()
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
         if cost:
             flops = float((cost[0] if isinstance(cost, (list, tuple))
                            else cost).get("flops", 0.0)) or None
+        # planned HBM (device memory_stats is unavailable through the
+        # tunnel): temp = activations/workspace, args = params+moments+batch
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            mem = {
+                "hbm_temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+                "hbm_args_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+                "hbm_out_gib": round(ma.output_size_in_bytes / 2**30, 3),
+            }
     except Exception as e:  # noqa: BLE001
-        print(f"# cost_analysis unavailable: {e}")
+        print(f"# cost/memory analysis unavailable: {e}")
 
     t0 = time.perf_counter()
     state, logs = step(state, batch)
@@ -103,6 +114,7 @@ def main():
         out["executed_tflop_per_step"] = round(tflops_per_step, 2)
         out["hw_flop_utilization"] = round(
             tflops_per_step / (ms / 1000.0) / V5E_BF16_PEAK_TFLOPS, 3)
+    out.update(mem)
     try:
         stats = jax.devices()[0].memory_stats()
         if stats and stats.get("peak_bytes_in_use"):
