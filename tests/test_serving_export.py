@@ -70,6 +70,18 @@ def test_serving_roundtrip(tmp_path, guided):
     assert "styled" in manifest["programs"]
 
 
+def test_serving_cross_platform_export():
+    """Export-on-host, serve-on-TPU: lowering for the tpu target must work
+    from a CPU process (the scripts/export_serving.py default)."""
+    exp = tiny_test_experiment(is_train=False)
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(0))
+    blobs = export_serving(exp, variables, batch_size=1,
+                           platforms=("tpu", "cpu"))
+    assert set(blobs) == {"end_to_end", "styled"}
+    assert all(len(b) > 10_000 for b in blobs.values())
+
+
 def test_serving_arg_specs_shapes():
     exp = tiny_test_experiment(is_train=False)
     e2e_args, styled_args = serving_arg_specs(exp, batch_size=3)
