@@ -37,8 +37,21 @@ CALLS = 12
 
 
 def main() -> None:
+    import argparse
+    import contextlib
+
     from deepsee_tpu.config import get_preset
     from deepsee_tpu.system import SRSystem
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 quantized serving path (opt-in; the headline "
+                         "metric stays bf16)")
+    args = ap.parse_args()
+    quant_ctx = contextlib.nullcontext()
+    if args.int8:
+        from deepsee_tpu.models.layers import int8_inference
+        quant_ctx = int8_inference()
 
     exp = get_preset("8x_independent_256x256").replace(is_train=False)
     system = SRSystem(exp)
@@ -72,19 +85,21 @@ def main() -> None:
             token = infer(variables.g, variables.e, batch, token)
         return float(token)  # syncs the whole chain
 
-    run_chain(2)  # compile + warmup
+    with quant_ctx:  # trace (first call) must happen inside the context
+        run_chain(2)  # compile + warmup
 
-    depth = 4
-    times = []
-    for _ in range(CALLS // depth):
-        t0 = time.perf_counter()
-        run_chain(depth)
-        times.append((time.perf_counter() - t0) / depth)
+        depth = 4
+        times = []
+        for _ in range(CALLS // depth):
+            t0 = time.perf_counter()
+            run_chain(depth)
+            times.append((time.perf_counter() - t0) / depth)
 
     ips = BATCH / float(np.median(times))
     ms_per_batch = float(np.median(times)) * 1000.0
     print(json.dumps({
-        "metric": "images_per_sec_8x256_inference",
+        "metric": ("images_per_sec_8x256_inference_int8" if args.int8
+                   else "images_per_sec_8x256_inference"),
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(ips / V100_BASELINE_IPS, 2),

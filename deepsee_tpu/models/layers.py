@@ -17,6 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Any, Callable, Optional, Tuple
 
@@ -27,6 +28,61 @@ from jax import lax
 from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
+
+# -- int8 quantized inference (serving-only) ---------------------------------
+# Trace-time switch consulted by Conv2d: wide convs run W8A8 symmetric
+# quantized (per-output-channel weight scales, dynamic per-tensor activation
+# scale) on the s8 MXU path, measured at 1.4-1.5x the bf16 conv throughput
+# on v5e (scripts/probe_int8.py).  Training paths never quantize (Conv2d
+# also requires train=False), and a jit traced outside the context stays
+# full-precision — wrap the TRACE (jit/export call), not just the execution.
+_INT8_MODE = {"on": False, "min_ch": 64}
+
+
+@contextlib.contextmanager
+def int8_inference(min_ch: int = 64):
+    """Enable W8A8 quantized convs for functions TRACED inside this context.
+
+    min_ch: quantize only convs with cin and cout both >= min_ch (narrow
+    convs gain nothing on the 128-lane MXU and cost accuracy).
+
+    jax.jit caches traces by function identity, so a function jitted BEFORE
+    this context would silently serve its full-precision trace inside it
+    (and vice versa).  The caches are cleared on entry and exit to make the
+    mode switch airtight; serving export is a one-shot, the recompiles are
+    irrelevant there."""
+    prev = dict(_INT8_MODE)
+    jax.clear_caches()
+    _INT8_MODE.update(on=True, min_ch=min_ch)
+    try:
+        yield
+    finally:
+        _INT8_MODE.update(prev)
+        jax.clear_caches()
+
+
+def int8_mode_active() -> bool:
+    return _INT8_MODE["on"]
+
+
+def _int8_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+               strides: Tuple[int, int], padding) -> jnp.ndarray:
+    """Symmetric W8A8 conv: s8 x s8 -> s32 on the MXU, dequantized to f32.
+
+    Weight scales are per output channel; the activation scale is dynamic
+    per tensor (no calibration pass needed).  With weights baked into an
+    exported serving program the weight quantization constant-folds at
+    compile time."""
+    s_k = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-8) / 127.0
+    k_q = jnp.clip(jnp.round(kernel / s_k), -127, 127).astype(jnp.int8)
+    s_x = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8).astype(jnp.float32) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                   -127, 127).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        x_q, k_q, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (s_x * s_k)
 
 
 def xavier_normal_torch(gain: float = 0.02) -> Callable:
@@ -79,16 +135,20 @@ class Conv2d(nn.Module):
         if self.spectral:
             kernel = self._spectral_normalize(kernel, train)
 
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=self.strides,
-            padding=(
-                (self.padding[0], self.padding[0]),
-                (self.padding[1], self.padding[1]),
-            ),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        pad = ((self.padding[0], self.padding[0]),
+               (self.padding[1], self.padding[1]))
+        if (_INT8_MODE["on"] and not train
+                and cin >= _INT8_MODE["min_ch"]
+                and self.features >= _INT8_MODE["min_ch"]):
+            y = _int8_conv(x, kernel, self.strides, pad).astype(self.dtype)
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=self.strides,
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(self.dtype)

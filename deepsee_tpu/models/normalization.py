@@ -55,9 +55,19 @@ class ConvParams(nn.Module):
 
 
 def _conv(x, kernel, bias, dtype, pad):
-    y = lax.conv_general_dilated(
-        x.astype(dtype), kernel.astype(dtype), (1, 1), ((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    from deepsee_tpu.models.layers import _INT8_MODE, _int8_conv
+
+    if (_INT8_MODE["on"] and x.shape[-1] >= _INT8_MODE["min_ch"]
+            and kernel.shape[-1] >= _INT8_MODE["min_ch"]):
+        # serving-only W8A8 path (layers.int8_inference); training is never
+        # traced inside that context
+        y = _int8_conv(x, kernel, (1, 1),
+                       ((pad, pad), (pad, pad))).astype(dtype)
+    else:
+        y = lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), (1, 1),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + bias.astype(dtype)
 
 

@@ -91,22 +91,37 @@ def serving_arg_specs(exp: Experiment, batch_size: int = 1):
 def export_serving(exp: Experiment, variables: SystemVariables,
                    batch_size: int = 1,
                    platforms: Sequence[str] = ("tpu",),
+                   quantize: str = "",
                    ) -> Dict[str, bytes]:
-    """Export both serving programs; returns {name: serialized bytes}."""
+    """Export both serving programs; returns {name: serialized bytes}.
+
+    quantize="int8": trace under layers.int8_inference — wide convs run
+    W8A8 on the s8 MXU path (~1.4-1.5x conv throughput on v5e); weight
+    quantization constant-folds into the exported program."""
+    import contextlib
+
+    from deepsee_tpu.models.layers import int8_inference
+
     system = SRSystem(exp.replace(is_train=False))
     end_to_end, styled = make_serving_fns(system, variables)
     e2e_args, styled_args = serving_arg_specs(exp, batch_size)
     plats = list(platforms)
+    ctx = (int8_inference() if quantize == "int8"
+           else contextlib.nullcontext())
+    if quantize not in ("", "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     out = {}
-    out["end_to_end"] = jax_export.export(
-        jax.jit(end_to_end), platforms=plats)(*e2e_args).serialize()
-    out["styled"] = jax_export.export(
-        jax.jit(styled), platforms=plats)(*styled_args).serialize()
+    with ctx:
+        out["end_to_end"] = jax_export.export(
+            jax.jit(end_to_end), platforms=plats)(*e2e_args).serialize()
+        out["styled"] = jax_export.export(
+            jax.jit(styled), platforms=plats)(*styled_args).serialize()
     return out
 
 
 def save_serving(out_dir: str, exp: Experiment, blobs: Dict[str, bytes],
-                 batch_size: int, platforms: Sequence[str]) -> None:
+                 batch_size: int, platforms: Sequence[str],
+                 quantize: str = "") -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name, blob in blobs.items():
         with open(os.path.join(out_dir, f"{name}.jaxexport"), "wb") as f:
@@ -115,6 +130,7 @@ def save_serving(out_dir: str, exp: Experiment, blobs: Dict[str, bytes],
     manifest = {
         "name": exp.name, "batch_size": batch_size,
         "platforms": list(platforms),
+        "quantize": quantize,
         "start_size": cfg.start_size, "crop_size": cfg.crop_size,
         "label_nc": cfg.label_nc,
         "regional_style_size": cfg.regional_style_size,

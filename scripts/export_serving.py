@@ -34,6 +34,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--platforms", default="tpu",
                    help="comma-separated lowering targets, e.g. tpu,cpu")
+    p.add_argument("--quantize", default="", choices=("", "int8"),
+                   help="int8: W8A8 quantized convs (s8 MXU serving path)")
     p.add_argument("--out", required=True)
     args = p.parse_args()
 
@@ -70,8 +72,10 @@ def main():
         print("WARNING: exporting RANDOM-INIT weights (no --checkpoint)")
 
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
-    blobs = export_serving(exp, variables, args.batch_size, platforms)
-    save_serving(args.out, exp, blobs, args.batch_size, platforms)
+    blobs = export_serving(exp, variables, args.batch_size, platforms,
+                           quantize=args.quantize)
+    save_serving(args.out, exp, blobs, args.batch_size, platforms,
+                 quantize=args.quantize)
     for name, blob in blobs.items():
         print(f"wrote {args.out}/{name}.jaxexport ({len(blob)/2**20:.1f} MiB)")
 

@@ -42,23 +42,26 @@ CHAIN = 32  # convs per jit call: amortizes the ~38 ms tunnel RTT per fetch
 def conv_chain(x, k, acc_dtype):
     """CHAIN data-dependent convs; one fetched scalar syncs the whole chain.
 
-    The carry is perturbed by a y-derived term each step so XLA cannot hoist
-    or dedup the convolutions."""
+    The FULL conv output feeds the next iteration's input (like a real
+    network).  Anything less lets XLA narrow the convolution to the consumed
+    output positions — a first version fed back only a scalar from
+    y[0,0,0,:] and "measured" 3.5x over bf16 peak because each conv was
+    legally computed at one pixel."""
 
     def body(carry, _):
         y = lax.conv_general_dilated(
             carry, k, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=acc_dtype)
-        s = jnp.sum(y[0, 0, 0, :].astype(jnp.float32))
         if carry.dtype == jnp.int8:
-            nxt = carry + (s.astype(jnp.int32) % 2).astype(jnp.int8)
+            # keep int8 range bounded: the parity of the s32 accumulator
+            nxt = (y & 1).astype(jnp.int8) + carry // 2
         else:
-            nxt = carry + (s % 2.0).astype(carry.dtype) * 1e-6
-        return nxt, s
+            nxt = (y * 1e-3).astype(carry.dtype) + carry * 0.5
+        return nxt, y[0, 0, 0, 0].astype(jnp.float32)
 
     final, ss = lax.scan(body, x, None, length=CHAIN)
-    return jnp.sum(ss)
+    return jnp.sum(ss) + jnp.sum(final[0, 0, 0, :].astype(jnp.float32))
 
 
 def bench_one(b, h, w, cin, cout, dtype, acc, steps=5):
