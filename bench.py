@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 V100_BASELINE_IPS = 6.0
-BATCH = 16
+# batch 32 halves the tunnel-RTT share vs 16: 100.8 vs 97.5 img/s measured
+BATCH = 32
 CALLS = 12
 
 
@@ -108,7 +109,8 @@ def main() -> None:
         # on one V100 (derivation in BASELINE.md "V100 baseline estimate")
         "baseline_basis": "analytic_v100_estimate_6ips",
         # measured device-side numbers that do not lean on the estimate
-        "ms_per_batch16": round(ms_per_batch, 1),
+        "batch": BATCH,
+        "ms_per_batch": round(ms_per_batch, 1),
         "ms_per_image": round(ms_per_batch / BATCH, 2),
     }))
 

@@ -159,6 +159,8 @@ def main():
                         "<epoch>_net_{SR,E}.pth released checkpoints")
     p.add_argument("--epoch", default="latest",
                    help="epoch tag of --torch_checkpoint files")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 quantized inference (s8 MXU serving path)")
     p.add_argument("--out", default="./results")
     args = p.parse_args()
 
@@ -197,9 +199,16 @@ def main():
                           "path_semantics": args.semantics,
                           "regions": regions})
 
-    demo.run(args.image_lr, args.semantics,
-             path_encoded_style=args.style_csv, inputs_hr=inputs_hr,
-             out_dir=args.out)
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if args.int8:
+        from deepsee_tpu.models.layers import int8_inference
+        ctx = int8_inference()
+    with ctx:  # the trace happens on this first (only) call
+        demo.run(args.image_lr, args.semantics,
+                 path_encoded_style=args.style_csv, inputs_hr=inputs_hr,
+                 out_dir=args.out)
 
 
 if __name__ == "__main__":

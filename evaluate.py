@@ -37,6 +37,9 @@ def main():
     p.add_argument("--epoch", default="latest")
     p.add_argument("--inception_weights", default="")
     p.add_argument("--alexnet_weights", default="")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 quantized inference: evaluate the quantized "
+                        "serving path's metrics (quality-delta measurement)")
     p.add_argument("--out", default="")
     p.add_argument("--save_images", action="store_true")
     args = p.parse_args()
@@ -88,7 +91,14 @@ def main():
         compute_fid=not args.no_fid, compute_lpips=not args.no_lpips,
         inception_weights=args.inception_weights or None,
         alexnet_weights=args.alexnet_weights or None)
-    result = ev.run(variables, loader)
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if args.int8:
+        from deepsee_tpu.models.layers import int8_inference
+        ctx = int8_inference()
+    with ctx:  # generation is traced on the first batch, inside the context
+        result = ev.run(variables, loader)
     print(json.dumps(result, indent=2, sort_keys=True))
 
     if args.save_images and args.out:

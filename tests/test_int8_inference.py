@@ -131,6 +131,27 @@ def test_quantized_export_roundtrip(tmp_path):
     assert err < 0.05
 
 
+def test_int8_evaluator_run():
+    """evaluate.py --int8 semantics: the metric sweep runs with the
+    generation traced inside the quantized context and yields finite
+    metrics."""
+    from deepsee_tpu.data import DataLoader, SyntheticDataset
+    from deepsee_tpu.eval.evaluator import InferenceEvaluator
+
+    exp = tiny_test_experiment().replace(is_train=False)
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(0))
+    ds = SyntheticDataset(exp, length=4)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True,
+                        num_workers=1, prefetch=0)
+    ev = InferenceEvaluator(system, num_samples=2, compute_fid=False,
+                            compute_lpips=False)
+    with int8_inference(min_ch=8):
+        result = ev.run(variables, loader)
+    for key in ("psnr/mean", "ssim/mean", "rmse/mean"):
+        assert key in result and np.isfinite(result[key]), (key, result)
+
+
 def test_int8_export_rejects_unknown_mode():
     from deepsee_tpu.serve import export_serving
 
