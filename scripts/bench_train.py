@@ -78,17 +78,22 @@ def main():
         run = compiled
         cost = compiled.cost_analysis()
         if cost:
-            flops = float((cost[0] if isinstance(cost, (list, tuple))
-                           else cost).get("flops", 0.0)) or None
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", 0.0)) or None
+            ba = float(c.get("bytes accessed", 0.0))
+            if ba:
+                mem["hbm_traffic_gb"] = round(ba / 1e9, 1)
+            # (cost_analysis also has "optimal_seconds", but it returns
+            # negative garbage on this backend — not emitted)
         # planned HBM (device memory_stats is unavailable through the
         # tunnel): temp = activations/workspace, args = params+moments+batch
         ma = compiled.memory_analysis()
         if ma is not None:
-            mem = {
-                "hbm_temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
-                "hbm_args_gib": round(ma.argument_size_in_bytes / 2**30, 3),
-                "hbm_out_gib": round(ma.output_size_in_bytes / 2**30, 3),
-            }
+            mem.update(
+                hbm_temp_gib=round(ma.temp_size_in_bytes / 2**30, 3),
+                hbm_args_gib=round(ma.argument_size_in_bytes / 2**30, 3),
+                hbm_out_gib=round(ma.output_size_in_bytes / 2**30, 3),
+            )
     except Exception as e:  # noqa: BLE001
         print(f"# AOT compile / cost analysis unavailable: {e}")
 
@@ -116,6 +121,10 @@ def main():
         out["executed_tflop_per_step"] = round(tflops_per_step, 2)
         out["hw_flop_utilization"] = round(
             tflops_per_step / (ms / 1000.0) / V5E_BF16_PEAK_TFLOPS, 3)
+    if mem.get("hbm_traffic_gb"):
+        # roofline position: fraction of v5e's 819 GB/s the step sustains
+        out["hbm_bw_utilization"] = round(
+            mem["hbm_traffic_gb"] / (ms / 1000.0) / 819.0, 3)
     out.update(mem)
     try:
         stats = jax.devices()[0].memory_stats()
