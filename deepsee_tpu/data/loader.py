@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
@@ -36,10 +37,16 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
                  seed: int = 0, prefetch: int = 2,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 reseed_dataset: bool = True):
         """shard_index/num_shards: per-host sharding for multi-host meshes —
         each host reads a disjoint stripe of every (globally shuffled)
-        epoch, the on-device batch dim then shards over the "data" axis."""
+        epoch, the on-device batch dim then shards over the "data" axis.
+
+        reseed_dataset=False skips the per-epoch dataset.seed() call — for
+        auxiliary loaders (in-training evaluation) that share a dataset
+        object with the live training loader and must not perturb its
+        augmentation stream."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +56,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.reseed_dataset = reseed_dataset
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -65,10 +73,16 @@ class DataLoader:
         return idx
 
     def __iter__(self) -> Iterator[Dict]:
+        """Abandonment-safe iteration: breaking out of (or GC'ing) the
+        iterator stops the decode pool and the prefetch thread promptly —
+        consumers like the in-training evaluator take N batches and leave
+        (eval/evaluator.py), which must not leak threads or keep decoding
+        the rest of the epoch in the background."""
         indices = self._indices()
         self.epoch += 1
-        if callable(getattr(self.dataset, "seed", None)):
+        if self.reseed_dataset and callable(getattr(self.dataset, "seed", None)):
             self.dataset.seed(self.seed + self.epoch)
+        stop = threading.Event()
 
         def fetch(i):
             try:
@@ -77,20 +91,42 @@ class DataLoader:
                 return None
 
         def batches():
+            # sliding window of futures: decode stays ~2*workers ahead of
+            # consumption instead of submitting the whole epoch eagerly
             buf: List[Dict] = []
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for sample in pool.map(fetch, indices):
+            pool = ThreadPoolExecutor(self.num_workers)
+            try:
+                window: deque = deque()
+                it = iter(indices)
+
+                def top_up():
+                    while len(window) < self.num_workers * 2:
+                        try:
+                            i = next(it)
+                        except StopIteration:
+                            return
+                        window.append(pool.submit(fetch, i))
+
+                top_up()
+                while window and not stop.is_set():
+                    sample = window.popleft().result()
+                    top_up()
                     if sample is None:
                         continue
                     buf.append(sample)
                     if len(buf) == self.batch_size:
                         yield collate(buf)
                         buf = []
-            if buf and not self.drop_last:
-                yield collate(buf)
+                if buf and not self.drop_last and not stop.is_set():
+                    yield collate(buf)
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
 
         if self.prefetch <= 0:
-            yield from batches()
+            try:
+                yield from batches()
+            finally:
+                stop.set()
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -99,14 +135,32 @@ class DataLoader:
         def producer():
             try:
                 for b in batches():
-                    q.put(b)
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        break
             finally:
-                q.put(_END)
+                # block until the sentinel fits (the consumer is draining)
+                # or the consumer abandoned us (stop set)
+                while True:
+                    try:
+                        q.put(_END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is _END:
-                break
-            yield b
+        try:
+            while True:
+                b = q.get()
+                if b is _END:
+                    break
+                yield b
+        finally:
+            stop.set()

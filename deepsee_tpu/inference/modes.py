@@ -85,8 +85,11 @@ def _tie_consistent(style: jnp.ndarray) -> jnp.ndarray:
 
 
 def _arrays(batch: Dict, keys=_ENC_KEYS) -> Dict:
-    return {k: v for k, v in batch.items()
-            if k in keys and isinstance(v, jnp.ndarray)}
+    # duck-typed: numpy arrays straight from the DataLoader collate must
+    # not be silently dropped (a missing optional key like image_hr would
+    # send the encoder to its zeros-HR fallback with no error)
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if k in keys and hasattr(v, "shape")}
 
 
 def encode_only(system: SRSystem, variables, batch, *,
@@ -261,13 +264,19 @@ def inference_particular_full(system: SRSystem, variables, batch):
     """sr_model.py:347-380: HR-encoded style; plus the guiding-image variant
     when configured.  Returns dict of images."""
     out = {}
-    style_full = system.encode_jit(variables.e, _arrays(batch), True, True)
+    arrays = _arrays(batch)
+    # "original" = style from the GT HR image: exclude the guiding keys so
+    # encoder_inputs (system.py:125-126) picks image_hr, not the guiding
+    # image (sr_model.py:347-361 vs :362-380)
+    base = {k: v for k, v in arrays.items()
+            if k not in ("guiding_image", "guiding_label")}
+    style_full = system.encode_jit(variables.e, base, True, True)
     out["fake_image_original"] = generate_with_style(system, variables, batch,
                                                      style_full)
     if system.cfg.guiding_style_image and "guiding_image" in batch:
         out["fake_image_guiding"] = generate_with_style(
             system, variables, batch,
-            system.encode_jit(variables.e, _arrays(batch), True, True))
+            system.encode_jit(variables.e, arrays, True, True))
     return out
 
 

@@ -54,13 +54,17 @@ class ConvParams(nn.Module):
         return kernel, bias
 
 
-def _conv(x, kernel, bias, dtype, pad):
+def _conv(x, kernel, bias, dtype, pad, train: bool = False):
+    from jax.ad_checkpoint import checkpoint_name
+
     from deepsee_tpu.models.layers import _INT8_MODE, _int8_conv
 
-    if (_INT8_MODE["on"] and x.shape[-1] >= _INT8_MODE["min_ch"]
+    if (_INT8_MODE["on"] and not train
+            and x.shape[-1] >= _INT8_MODE["min_ch"]
             and kernel.shape[-1] >= _INT8_MODE["min_ch"]):
-        # serving-only W8A8 path (layers.int8_inference); training is never
-        # traced inside that context
+        # serving-only W8A8 path (layers.int8_inference); like Conv2d, the
+        # train gate keeps a training trace full-precision even if someone
+        # opens the context around it (jnp.round has zero gradient)
         y = _int8_conv(x, kernel, (1, 1),
                        ((pad, pad), (pad, pad))).astype(dtype)
     else:
@@ -68,7 +72,9 @@ def _conv(x, kernel, bias, dtype, pad):
             x.astype(dtype), kernel.astype(dtype), (1, 1),
             ((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + bias.astype(dtype)
+    # tagged like Conv2d so the "convs" remat policy saves the folded
+    # modulation convs too (real MXU FLOPs at up to full feature size)
+    return checkpoint_name(y + bias.astype(dtype), "conv_out")
 
 
 def style_to_pixels(segmap: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
@@ -134,7 +140,7 @@ class SPADE(nn.Module):
         kb, bb = ConvParams(_NHIDDEN, self.norm_nc, ks, name="mlp_beta")()
         kernel = jnp.concatenate([kg, kb], axis=3)
         bias = jnp.concatenate([bg + 1.0, bb])
-        mod = _conv(actv, kernel, bias, self.dtype, ks // 2)
+        mod = _conv(actv, kernel, bias, self.dtype, ks // 2, train=train)
         c = self.norm_nc
         return normalized * mod[..., :c] + mod[..., c:]
 
@@ -218,7 +224,7 @@ class SEANBlock(nn.Module):
                                 (1.0 - wb) * bb + wb * bbs])
 
         inp = jnp.concatenate([actv, style_map], axis=-1)
-        mod = _conv(inp, kernel, bias, self.dtype, ks // 2)
+        mod = _conv(inp, kernel, bias, self.dtype, ks // 2, train=train)
         c = self.norm_nc
         return normalized * mod[..., :c] + mod[..., c:]
 
@@ -250,6 +256,6 @@ class PureSEANBlock(nn.Module):
                               name="mlp_style_beta")()
         kernel = jnp.concatenate([kgs, kbs], axis=3)
         bias = jnp.concatenate([bgs, bbs])
-        mod = _conv(style_map, kernel, bias, self.dtype, ks // 2)
+        mod = _conv(style_map, kernel, bias, self.dtype, ks // 2, train=train)
         c = self.norm_nc
         return normalized * mod[..., :c] + mod[..., c:]

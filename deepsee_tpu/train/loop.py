@@ -106,6 +106,16 @@ class Trainer:
             from deepsee_tpu.eval.evaluator import get_validation_loader
             val_loader = get_validation_loader(exp)
 
+        # dedicated loader for the periodic training-set evaluation: shares
+        # the dataset object but not the epoch/shuffle state, does NOT
+        # reseed the dataset (would perturb the live training augmentation
+        # stream), and keeps no prefetch thread (the evaluator takes
+        # num_evaluation_samples and leaves)
+        eval_loader = DataLoader(
+            dataloader.dataset, tc.batch_size, shuffle=True, drop_last=True,
+            seed=tc.seed + 7919, num_workers=2, prefetch=0,
+            reseed_dataset=False)
+
         logs: Dict[str, float] = {}
         try:
             for epoch in counter.training_epochs():
@@ -142,7 +152,7 @@ class Trainer:
                         # set (FID + metrics history), plus the val set when
                         # --evaluate_val_set; exhaustion -> FID 500 fallback
                         result = evaluate_set(evaluator, self.variables(),
-                                              dataloader)
+                                              eval_loader)
                         counter.record_fid(result.get("FID", 500.0), "train",
                                            tc.num_evaluation_samples)
                         counter.record_metrics(result, "train",

@@ -106,3 +106,69 @@ def test_preset_configs():
     assert g.model.crop_size == 512 and not g.model.add_noise
     assert g.model.net_e == "fullstyle" and g.model.guiding_style_image
     assert g.model.n_blocks == 5
+
+
+def test_loader_abandonment_stops_decoding_and_threads():
+    """Consumers that take a few batches and leave (the in-training
+    evaluator) must not leak prefetch/decode threads or keep decoding the
+    rest of the epoch in the background."""
+    import threading
+    import time
+
+    class Counting:
+        def __init__(self, n):
+            self.n = n
+            self.count = 0
+            self.lock = threading.Lock()
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            with self.lock:
+                self.count += 1
+            time.sleep(0.002)
+            return {"label": np.zeros((4, 4), np.int32),
+                    "image_hr": np.zeros((4, 4, 3), np.float32)}
+
+    ds = Counting(400)
+    base_threads = threading.active_count()
+    for _ in range(3):
+        loader = DataLoader(ds, batch_size=2, shuffle=False,
+                            num_workers=2, prefetch=2)
+        it = iter(loader)
+        next(it)
+        next(it)
+        it.close()  # abandon mid-epoch
+    time.sleep(0.8)
+    fetched_after_settle = ds.count
+    time.sleep(0.8)
+    assert ds.count - fetched_after_settle <= 8, (
+        "decoding continued after abandonment")
+    assert ds.count < 200, f"ate the epoch in background: {ds.count}"
+    assert threading.active_count() <= base_threads + 2, (
+        "prefetch threads leaked")
+
+
+def test_loader_reseed_dataset_flag():
+    """reseed_dataset=False (the in-training eval loader) must not touch
+    the shared dataset's augmentation seed."""
+
+    class Seeded:
+        def __init__(self):
+            self.calls = []
+
+        def __len__(self):
+            return 4
+
+        def seed(self, s):
+            self.calls.append(s)
+
+        def __getitem__(self, i):
+            return {"label": np.zeros((2, 2), np.int32)}
+
+    ds = Seeded()
+    list(DataLoader(ds, 2, reseed_dataset=False, prefetch=0, num_workers=1))
+    assert ds.calls == []
+    list(DataLoader(ds, 2, prefetch=0, num_workers=1))
+    assert len(ds.calls) == 1

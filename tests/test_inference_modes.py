@@ -115,3 +115,67 @@ def test_particular_modes(setup):
     assert fake.shape[0] == 2
     out = modes.inference_particular_full(system, variables, batch)
     assert "fake_image_original" in out
+
+
+def test_particular_full_guiding_differs_from_original():
+    """sr_model.py:347-380: 'original' encodes the GT HR image, 'guiding'
+    the guiding image — with different images they must differ (a previous
+    version encoded the guiding image twice)."""
+    import dataclasses
+
+    exp = tiny_test_experiment().replace(is_train=False)
+    exp = exp.replace(model=dataclasses.replace(
+        exp.model, net_e="fullstyle", guiding_style_image=True))
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(0))
+    cfg = exp.model
+    rng = np.random.RandomState(0)
+    b = 2
+    batch = system.preprocess({
+        "image_hr": jnp.asarray(
+            np.tanh(rng.randn(b, cfg.crop_size, cfg.crop_size, 3)),
+            jnp.float32),
+        "label": jnp.asarray(
+            rng.randint(0, cfg.label_nc, (b, cfg.crop_size, cfg.crop_size)),
+            jnp.int32),
+        "guiding_image": jnp.asarray(
+            np.tanh(rng.randn(b, cfg.crop_size, cfg.crop_size, 3)),
+            jnp.float32),
+        "guiding_label": jnp.asarray(
+            rng.randint(0, cfg.label_nc, (b, cfg.crop_size, cfg.crop_size)),
+            jnp.int32),
+    })
+    # The random-init tiny model saturates its output tanh, which absorbs
+    # small style differences — so pin the *encode inputs* via a spy: the
+    # "original" encode must exclude the guiding keys (else encoder_inputs
+    # picks the guiding image for both, system.py:125-126), the "guiding"
+    # encode must include them.
+    calls = []
+    real = system.encode_jit  # materialize the cached_property
+
+    def spy(e_vars, b, use_full, no_noise):
+        calls.append(sorted(b.keys()))
+        return real(e_vars, b, use_full, no_noise)
+
+    system.__dict__["encode_jit"] = spy
+    out = modes.inference_particular_full(system, variables, batch)
+    assert "fake_image_guiding" in out and "fake_image_original" in out
+    assert len(calls) == 2
+    assert "guiding_image" not in calls[0], (
+        "'original' must encode the GT HR image")
+    assert "guiding_image" in calls[1]
+    # and the two encodes really produce different styles
+    sf = real(variables.e, {k: v for k, v in modes._arrays(batch).items()
+                            if not k.startswith("guiding")}, True, True)
+    sg = real(variables.e, modes._arrays(batch), True, True)
+    assert float(jnp.abs(sf - sg).max()) > 1e-4
+
+
+def test_arrays_accepts_numpy_batches():
+    """Batches straight from the DataLoader hold numpy arrays; _arrays must
+    convert rather than silently drop them (a dropped image_hr sends the
+    encoder to its zeros-HR fallback)."""
+    a = modes._arrays({"image_lr": np.zeros((1, 8, 8, 3), np.float32),
+                       "path": ["x.png"]})
+    assert "image_lr" in a and isinstance(a["image_lr"], jnp.ndarray)
+    assert "path" not in a
