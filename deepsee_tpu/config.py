@@ -189,8 +189,9 @@ class TrainConfig:
     gradient_clip: float = -1.0     # train_options.py:80 (clip-by-value; -1 = off)
     remat: bool = False             # replaces --efficient gradient checkpointing
     # remat flavor: "full" recomputes whole blocks in backward (min memory);
-    # "convs" saves conv outputs and recomputes only the cheap norm/resize
-    # ops — near-zero extra matmul FLOPs, a bit more memory
+    # "convs" saves TRUNK conv outputs and recomputes norms/resizes AND the
+    # folded SEAN/SPADE modulation convs (~0.5x a trunk conv each — saving
+    # those too was measured to blow past HBM at 256^2 b16)
     remat_policy: str = "full"
 
     # Pretrained perceptual-network weight files (torchvision-format .pth or

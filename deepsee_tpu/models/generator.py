@@ -66,9 +66,10 @@ class DeepSEEGenerator(nn.Module):
     cfg: ModelConfig
     remat: bool = False
     # "full": recompute the whole block in backward (min memory, +1 G-fwd
-    # FLOPs); "convs": save conv outputs, recompute only norms/resizes/
-    # modulations (jax.checkpoint_policies.save_only_these_names) — nearly
-    # no extra matmul FLOPs for a modest memory increase
+    # FLOPs); "convs": save trunk conv outputs ("conv_out" names via
+    # jax.checkpoint_policies.save_only_these_names), recompute norms/
+    # resizes and the folded modulation convs ("mod_conv_out" — saving
+    # those too exceeds HBM at 256^2 b16)
     remat_policy: str = "full"
     variant: str = "deepsee"
 

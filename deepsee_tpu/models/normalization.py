@@ -72,9 +72,12 @@ def _conv(x, kernel, bias, dtype, pad, train: bool = False):
             x.astype(dtype), kernel.astype(dtype), (1, 1),
             ((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # tagged like Conv2d so the "convs" remat policy saves the folded
-    # modulation convs too (real MXU FLOPs at up to full feature size)
-    return checkpoint_name(y + bias.astype(dtype), "conv_out")
+    # Deliberately NOT tagged "conv_out": the "convs" remat policy saves
+    # trunk conv outputs only.  Saving these 2C-channel modulation outputs
+    # too was measured to exceed HBM at 256^2 b16 (13.6 -> >16 GiB); their
+    # recompute (~0.5x a trunk conv each) is part of the policy's price,
+    # documented in config.py.  Own tag so a future policy can elect them.
+    return checkpoint_name(y + bias.astype(dtype), "mod_conv_out")
 
 
 def style_to_pixels(segmap: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:

@@ -49,7 +49,8 @@ def parse_args():
     p.add_argument("--remat_policy", default="full",
                    choices=("full", "convs"),
                    help="full: recompute whole blocks (min memory); convs: "
-                        "save conv outputs, recompute only norms/resizes")
+                        "save trunk conv outputs, recompute norms/resizes/"
+                        "modulation convs")
     p.add_argument("--compute_dtype", default=None,
                    choices=("bfloat16", "float32"))
     p.add_argument("--vgg_weights", default="",
