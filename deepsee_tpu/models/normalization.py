@@ -65,8 +65,8 @@ def _conv(x, kernel, bias, dtype, pad, train: bool = False):
         # serving-only W8A8 path (layers.int8_inference); like Conv2d, the
         # train gate keeps a training trace full-precision even if someone
         # opens the context around it (jnp.round has zero gradient)
-        y = _int8_conv(x, kernel, (1, 1),
-                       ((pad, pad), (pad, pad))).astype(dtype)
+        y = _int8_conv(x, kernel, (1, 1), ((pad, pad), (pad, pad)),
+                       smooth=_INT8_MODE["smooth"]).astype(dtype)
     else:
         y = lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype), (1, 1),

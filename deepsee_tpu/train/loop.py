@@ -106,15 +106,18 @@ class Trainer:
             from deepsee_tpu.eval.evaluator import get_validation_loader
             val_loader = get_validation_loader(exp)
 
-        # dedicated loader for the periodic training-set evaluation: shares
-        # the dataset object but not the epoch/shuffle state, does NOT
-        # reseed the dataset (would perturb the live training augmentation
-        # stream), and keeps no prefetch thread (the evaluator takes
-        # num_evaluation_samples and leaves)
+        # dedicated loader for the periodic training-set evaluation, fully
+        # isolated from the live training stream: a shallow COPY of the
+        # dataset (shares the immutable file lists, gets its own
+        # augmentation Random via seed() — datasets.py:102-103 rebinds
+        # self.rng) so concurrent eval decode threads never consume draws
+        # from the training dataset's RNG; no prefetch thread (the
+        # evaluator takes num_evaluation_samples and leaves)
+        import copy as _copy
+        eval_dataset = _copy.copy(dataloader.dataset)
         eval_loader = DataLoader(
-            dataloader.dataset, tc.batch_size, shuffle=True, drop_last=True,
-            seed=tc.seed + 7919, num_workers=2, prefetch=0,
-            reseed_dataset=False)
+            eval_dataset, tc.batch_size, shuffle=True, drop_last=True,
+            seed=tc.seed + 7919, num_workers=2, prefetch=0)
 
         logs: Dict[str, float] = {}
         try:

@@ -34,8 +34,11 @@ def main():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--platforms", default="tpu",
                    help="comma-separated lowering targets, e.g. tpu,cpu")
-    p.add_argument("--quantize", default="", choices=("", "int8"),
-                   help="int8: W8A8 quantized convs (s8 MXU serving path)")
+    p.add_argument("--quantize", default="",
+                   choices=("", "int8", "int8_nosmooth"),
+                   help="int8: W8A8 quantized convs (s8 MXU serving path); "
+                        "int8_nosmooth drops SmoothQuant (~4%% faster, "
+                        "-1.2 dB, constant-foldable weights)")
     p.add_argument("--out", required=True)
     args = p.parse_args()
 

@@ -28,6 +28,39 @@ def test_int8_conv_matches_fp_within_quant_error():
     assert rel < 0.02, f"quantization error too large: {rel}"
 
 
+def test_int8_smoothquant_halves_error_on_disparate_ranges():
+    """The SmoothQuant equalization (alpha=0.5) must beat plain per-tensor
+    quantization when per-channel activation ranges are disparate (the
+    post-instance-norm/modulation regime), and be a no-op-grade change on
+    uniform ranges.  A sign/axis mistake in s_c fails the first assert."""
+    rng = np.random.RandomState(0)
+    scales = 10 ** np.linspace(-2, 1, 64)  # 3 decades of channel spread
+    x = jnp.asarray(rng.randn(2, 16, 16, 64) * scales, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.05, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def rel(smooth):
+        q = _int8_conv(x, k, (1, 1), ((1, 1), (1, 1)), smooth=smooth)
+        return float(jnp.linalg.norm(q - ref) / jnp.linalg.norm(ref))
+
+    plain, smoothed = rel(False), rel(True)
+    assert smoothed < 0.7 * plain, (plain, smoothed)
+
+    # uniform ranges: smoothing must not make things worse
+    xu = jnp.asarray(rng.randn(2, 16, 16, 64), jnp.float32)
+    refu = jax.lax.conv_general_dilated(
+        xu, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def relu_(smooth):
+        q = _int8_conv(xu, k, (1, 1), ((1, 1), (1, 1)), smooth=smooth)
+        return float(jnp.linalg.norm(q - refu) / jnp.linalg.norm(refu))
+
+    assert relu_(True) < 1.2 * relu_(False)
+
+
 def test_int8_generator_forward_close_and_uses_s8():
     exp = tiny_test_experiment(is_train=False)
     system = SRSystem(exp)
