@@ -41,8 +41,10 @@ def get_validation_loader(exp: Experiment, batch_size: Optional[int] = None):
         exp.data, label_dir=exp.data.label_dir_val,
         image_dir=exp.data.image_dir_val, phase="val"))
     ds = create_dataset(val_exp, phase="val")
+    import jax
     return DataLoader(ds, batch_size or exp.train.batch_size, shuffle=False,
-                      drop_last=False)
+                      drop_last=False, shard_index=jax.process_index(),
+                      num_shards=jax.process_count())
 
 
 def evaluate_set(evaluator: "InferenceEvaluator", variables, loader,

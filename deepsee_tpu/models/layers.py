@@ -53,7 +53,16 @@ def int8_inference(min_ch: int = 64, smooth: bool = True):
     this context would silently serve its full-precision trace inside it
     (and vice versa).  The caches are cleared on entry and exit to make the
     mode switch airtight; serving export is a one-shot, the recompiles are
-    irrelevant there."""
+    irrelevant there.
+
+    ONE-SHOT, SINGLE-THREADED ONLY: this flips a process-global flag and
+    evicts EVERY compiled executable in the process (twice).  It is meant
+    for the one-shot CLIs (bench --int8, export_serving --quantize int8,
+    demo --int8).  In a long-lived multi-trace server, any unrelated
+    function first traced while the context is open would be silently
+    quantized, and concurrent threads would race on the flag — for that
+    use case, export an int8 artifact ahead of time (serve.py) and load
+    it instead of toggling this at runtime."""
     prev = dict(_INT8_MODE)
     jax.clear_caches()
     _INT8_MODE.update(on=True, min_ch=min_ch, smooth=smooth)

@@ -194,12 +194,16 @@ def shard_system_variables(variables: Dict, mesh: Mesh,
 # -- whole-train-state sharding ---------------------------------------------
 
 
-def _map_like(tree, template_shardings, fn):
+def _map_like(tree, template_shardings, fn, expect: str = ""):
     """Apply fn(subtree, shardings) to every subtree of `tree` whose pytree
     structure matches `template_shardings` (used to hit the Adam mu/nu
     moments, which mirror the param tree, without hardcoding optax
-    internals)."""
+    internals).  Matching is purely structural, so an optax version bump
+    that reshapes the state tree would silently stop matching — hence the
+    zero-match warning (the moments would stay replicated and quietly lose
+    the memory savings this exists for)."""
     tdef = jax.tree_util.tree_structure(template_shardings)
+    n_matched = 0
 
     def is_match(x):
         try:
@@ -208,9 +212,20 @@ def _map_like(tree, template_shardings, fn):
             return False
 
     def visit(x):
-        return fn(x, template_shardings) if is_match(x) else x
+        nonlocal n_matched
+        if is_match(x):
+            n_matched += 1
+            return fn(x, template_shardings)
+        return x
 
-    return jax.tree_util.tree_map(visit, tree, is_leaf=is_match)
+    out = jax.tree_util.tree_map(visit, tree, is_leaf=is_match)
+    if n_matched == 0:
+        import warnings
+        warnings.warn(
+            f"_map_like matched NO subtrees{' for ' + expect if expect else ''}"
+            " — optimizer moments will stay replicated (optax state layout"
+            " changed?)", stacklevel=2)
+    return out
 
 
 def shard_train_state(state, mesh: Mesh, shard_model: bool = True,
@@ -245,6 +260,6 @@ def shard_train_state(state, mesh: Mesh, shard_model: bool = True,
     d_sh = system_sharding(new.d_vars, mesh, shard_model,
                            min_shard_ch)["params"]
     return new.replace(
-        opt_g=_map_like(new.opt_g, diff_sh, place),
-        opt_d=_map_like(new.opt_d, d_sh, place),
+        opt_g=_map_like(new.opt_g, diff_sh, place, expect="G Adam moments"),
+        opt_d=_map_like(new.opt_d, d_sh, place, expect="D Adam moments"),
     )

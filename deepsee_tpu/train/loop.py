@@ -47,8 +47,9 @@ class Trainer:
             self.system, jax.random.PRNGKey(exp.train.seed))
         self.ckpt = CheckpointManager(exp)
         try:  # source snapshot per run (util/files.py copy_src)
-            from deepsee_tpu.utils.files import copy_src
-            copy_src(f"{exp.checkpoints_dir}/{exp.name}")
+            from deepsee_tpu.utils.files import copy_src, is_main_process
+            if is_main_process():
+                copy_src(f"{exp.checkpoints_dir}/{exp.name}")
         except Exception as e:  # noqa: BLE001
             print(f"copy_src failed: {e}")
         if continue_train and self.ckpt.latest_step() is not None:
@@ -117,7 +118,9 @@ class Trainer:
         eval_dataset = _copy.copy(dataloader.dataset)
         eval_loader = DataLoader(
             eval_dataset, tc.batch_size, shuffle=True, drop_last=True,
-            seed=tc.seed + 7919, num_workers=2, prefetch=0)
+            seed=tc.seed + 7919, num_workers=2, prefetch=0,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count())
 
         logs: Dict[str, float] = {}
         try:
@@ -194,11 +197,15 @@ class Trainer:
 
     def _display(self, visualizer: Visualizer, device_batch: Dict,
                  epoch: int, step: int) -> None:
-        pre = self.system.preprocess(device_batch)
-        fake, _, _ = self.system.generate(
-            self.state.g_vars, self.state.e_vars, pre,
-            use_full=self.system.cfg.full_style_image, no_noise=True,
-            train=False)
+        # Jitted path (generate_jit caches on the fixed per-run shapes, so
+        # this costs ONE extra compile, not a trace per display): the eager
+        # per-op dispatch it replaces stalled a real 256 px run for minutes
+        # on the first display trigger (ARCHITECTURE.md eager-vs-jit
+        # measurement: 191 s eager sweep vs 0.2 s jitted).
+        pre = self.system.preprocess_jit(device_batch)
+        fake, _ = self.system.generate_jit(
+            self.state.g_vars, self.state.e_vars, pre, None,
+            self.system.cfg.full_style_image, True, None)
         visuals = {
             "input_label": np.asarray(jax.device_get(pre["label"][0])),
             "image_lr": np.asarray(jax.device_get(pre["image_lr"][0])),

@@ -21,9 +21,14 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from deepsee_tpu.config import Experiment
+from deepsee_tpu.utils.files import is_main_process
 
 
 class CheckpointManager:
+    """Orbax itself must run on EVERY process (it coordinates its own
+    multi-host commit protocol); only the side-writes here — config.json
+    and the tag marker files — are process-0-only."""
+
     def __init__(self, exp: Experiment, max_to_keep: int = 5):
         self.exp = exp
         self.dir = os.path.abspath(
@@ -33,14 +38,16 @@ class CheckpointManager:
             self.dir, options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True))
         # config snapshot next to the weights (base_options.py:196-208)
-        cfg_path = os.path.join(exp.checkpoints_dir, exp.name, "config.json")
-        with open(cfg_path, "w") as f:
-            f.write(exp.to_json())
+        if is_main_process():
+            cfg_path = os.path.join(exp.checkpoints_dir, exp.name,
+                                    "config.json")
+            with open(cfg_path, "w") as f:
+                f.write(exp.to_json())
 
     def save(self, step: int, state: Any, tag: Optional[str] = None) -> None:
         self.manager.save(step, args=ocp.args.StandardSave(state))
         self.manager.wait_until_finished()
-        if tag:
+        if tag and is_main_process():
             with open(os.path.join(self.dir, f"{tag}.txt"), "w") as f:
                 f.write(str(step))
 

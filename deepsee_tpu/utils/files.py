@@ -8,6 +8,20 @@ import time
 import zipfile
 
 
+def is_main_process() -> bool:
+    """True on the host that owns run-directory side effects.
+
+    The reference is single-host so every write is unconditional; under
+    multi-host JAX, N processes would duplicate work and collide on shared
+    storage (source zips, config.json, loss_log.txt, HTML dashboard,
+    iter.txt, eval history).  All such writers are guarded with this —
+    Orbax checkpointing is NOT (it runs its own multi-host protocol and
+    must be called from every process)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def copy_src(run_dir: str, src_root: str = None) -> str:
     """Zip the framework sources into the run directory, like the
     reference's `copy_src` snapshot — plus the git revision when available."""

@@ -15,9 +15,14 @@ from typing import Iterator
 import numpy as np
 
 from deepsee_tpu.config import Experiment
+from deepsee_tpu.utils.files import is_main_process
 
 
 class IterationCounter:
+    """Counting/trigger logic runs on every process (the loop needs the
+    triggers everywhere); file WRITES (iter.txt, fid_iter.txt,
+    metrics_iter.txt) happen on process 0 only under multi-host."""
+
     def __init__(self, exp: Experiment, dataset_size: int,
                  continue_train: bool = False):
         self.exp = exp
@@ -26,9 +31,11 @@ class IterationCounter:
         self.batch_size = tc.batch_size
         self.total_epochs = tc.niter + tc.niter_decay
         self.epoch_iter = 0  # iter within current epoch (in #samples)
+        self.writes = is_main_process()
 
         self.checkpoints_dir = os.path.join(exp.checkpoints_dir, exp.name)
-        os.makedirs(self.checkpoints_dir, exist_ok=True)
+        if self.writes:
+            os.makedirs(self.checkpoints_dir, exist_ok=True)
         self.iter_record_path = os.path.join(self.checkpoints_dir, "iter.txt")
 
         self.first_epoch = 1
@@ -73,6 +80,8 @@ class IterationCounter:
         self.record_current_iter()
 
     def record_current_iter(self) -> None:
+        if not self.writes:
+            return
         np.savetxt(self.iter_record_path,
                    (self.current_epoch, self.epoch_iter,
                     self.total_steps_so_far),
@@ -80,6 +89,8 @@ class IterationCounter:
 
     def append_eval_history(self, filename: str, value) -> None:
         """fid_iter.txt / metrics_iter.txt style history files (:100-121)."""
+        if not self.writes:
+            return
         path = os.path.join(self.checkpoints_dir, filename)
         with open(path, "a") as f:
             f.write(f"{self.current_epoch},{self.total_steps_so_far},{value}\n")
@@ -93,10 +104,11 @@ class IterationCounter:
         msg = (f"time={self._time_string()},split={split},"
                f"num_samples={num_samples},epoch={self.current_epoch:03d},"
                f"total_steps_so_far={self.total_steps_so_far:010d},fid={fid}")
-        with open(os.path.join(self.checkpoints_dir, "fid_iter.txt"),
-                  "a") as f:
-            f.write(msg + os.linesep)
-        print(msg)
+        if self.writes:
+            with open(os.path.join(self.checkpoints_dir, "fid_iter.txt"),
+                      "a") as f:
+                f.write(msg + os.linesep)
+            print(msg)
         return msg
 
     def record_metrics(self, metrics: dict, split: str,
@@ -108,10 +120,11 @@ class IterationCounter:
                f"total_steps_so_far={self.total_steps_so_far:010d},")
         msg += ",".join(f"{k}={v}" for k, v in metrics.items()
                         if "psnr" in k or "ssim" in k or "rmse" in k)
-        with open(os.path.join(self.checkpoints_dir, "metrics_iter.txt"),
-                  "a") as f:
-            f.write(msg + os.linesep)
-        print(msg)
+        if self.writes:
+            with open(os.path.join(self.checkpoints_dir, "metrics_iter.txt"),
+                      "a") as f:
+                f.write(msg + os.linesep)
+            print(msg)
         return msg
 
     # periodic triggers (util/iter_counter.py:123-138)

@@ -15,6 +15,7 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from deepsee_tpu.config import Experiment
+from deepsee_tpu.utils.files import is_main_process
 from deepsee_tpu.utils.images import label2im, save_image, tensor2im
 
 _HTML_HEADER = """<!DOCTYPE html><html><head>
@@ -29,14 +30,18 @@ font-family:monospace}} img{{max-width:256px}}</style></head><body>
 class Visualizer:
     def __init__(self, exp: Experiment):
         self.exp = exp
+        # multi-host: only process 0 writes the run directory (the
+        # reference is single-host and writes unconditionally)
+        self.active = is_main_process()
         self.run_dir = os.path.join(exp.checkpoints_dir, exp.name)
         self.web_dir = os.path.join(self.run_dir, "web")
         self.img_dir = os.path.join(self.web_dir, "images")
-        os.makedirs(self.img_dir, exist_ok=True)
         self.log_path = os.path.join(self.run_dir, "loss_log.txt")
-        with open(self.log_path, "a") as f:
-            f.write(f"=============== Training Loss "
-                    f"({time.strftime('%c')}) ===============\n")
+        if self.active:
+            os.makedirs(self.img_dir, exist_ok=True)
+            with open(self.log_path, "a") as f:
+                f.write(f"=============== Training Loss "
+                        f"({time.strftime('%c')}) ===============\n")
         self.rows: List[Dict] = []
 
     def _to_uint8(self, key: str, value: np.ndarray) -> np.ndarray:
@@ -48,6 +53,8 @@ class Visualizer:
     def display_current_results(self, visuals: Dict[str, np.ndarray],
                                 epoch: int, step: int) -> None:
         """visuals: dict of (H,W,C) arrays in [-1,1] (or label maps)."""
+        if not self.active:
+            return
         files = {}
         for key, value in visuals.items():
             fname = f"epoch{epoch:03d}_step{step}_{key}.png"
@@ -72,6 +79,8 @@ class Visualizer:
     def print_current_errors(self, epoch: int, i: int,
                              errors: Dict[str, float],
                              time_per_sample: float) -> None:
+        if not self.active:
+            return
         message = (f"(epoch: {epoch}, iters: {i}, "
                    f"samples/sec: {1.0 / max(time_per_sample, 1e-9):.3f}) ")
         for k, v in errors.items():

@@ -122,8 +122,12 @@ def main():
         out["hw_flop_utilization"] = round(
             tflops_per_step / (ms / 1000.0) / V5E_BF16_PEAK_TFLOPS, 3)
     if mem.get("hbm_traffic_gb"):
-        # roofline position: fraction of v5e's 819 GB/s the step sustains
-        out["hbm_bw_utilization"] = round(
+        # roofline position: fraction of v5e's 819 GB/s the step sustains.
+        # UPPER BOUND: XLA cost_analysis 'bytes accessed' counts per-op
+        # logical bytes incl. fusion-internal traffic that never reaches
+        # HBM, so this can overstate the truly sustained fraction (>1.0 is
+        # possible on heavily fused programs).
+        out["hbm_bw_utilization_xla_bytes_ub"] = round(
             mem["hbm_traffic_gb"] / (ms / 1000.0) / 819.0, 3)
     out.update(mem)
     try:
