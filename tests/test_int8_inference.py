@@ -185,6 +185,62 @@ def test_int8_evaluator_run():
         assert key in result and np.isfinite(result[key]), (key, result)
 
 
+def test_int8_under_mesh_matches_single_device():
+    """int8 inference composed with the mesh (dp x tp AND dp x sp): the
+    quantized program must still trace int8 convolutions and agree with the
+    single-device quantized output.  The dynamic activation scale is a
+    global max-reduce, so sharding must not change which scale is picked —
+    only reduction order can differ (tolerance covers a rounding flip)."""
+    from deepsee_tpu.config import MeshConfig
+    from deepsee_tpu.parallel import (make_mesh, shard_batch,
+                                      shard_system_variables)
+
+    exp = tiny_test_experiment(is_train=False)
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(0))
+    cfg = exp.model
+
+    rng = np.random.RandomState(0)
+    b = 4
+    batch = {
+        "image_hr": np.tanh(rng.randn(b, cfg.crop_size, cfg.crop_size, 3))
+        .astype(np.float32),
+        "label": rng.randint(0, cfg.label_nc,
+                             (b, cfg.crop_size, cfg.crop_size))
+        .astype(np.int32),
+    }
+
+    def fwd(g, e, batch):
+        pre = system.preprocess(batch)
+        fake, _, _ = system.generate(g, e, pre, use_full=False,
+                                     no_noise=True, train=False)
+        return fake
+
+    with int8_inference(min_ch=8):
+        want = np.asarray(jax.device_get(jax.jit(fwd)(
+            variables.g, variables.e,
+            {k: jnp.asarray(v) for k, v in batch.items()})))
+
+        for spatial in (False, True):
+            mesh = make_mesh(MeshConfig(2, 4))
+            svars = variables.replace(
+                g=shard_system_variables(variables.g, mesh,
+                                         shard_model=not spatial,
+                                         min_shard_ch=8),
+                e=shard_system_variables(variables.e, mesh,
+                                         shard_model=not spatial,
+                                         min_shard_ch=8))
+            sbatch = shard_batch(batch, mesh, spatial=spatial)
+            jitted = jax.jit(fwd)
+            hlo = jitted.lower(svars.g, svars.e, sbatch).as_text()
+            assert any("convolution" in ln and "i8>" in ln
+                       for ln in hlo.splitlines()), (
+                f"mesh trace (spatial={spatial}) lost the int8 convs")
+            got = np.asarray(jax.device_get(jitted(svars.g, svars.e, sbatch)))
+            assert float(np.mean(np.abs(got - want))) < 5e-3, spatial
+            np.testing.assert_allclose(got, want, atol=0.08)
+
+
 def test_int8_export_rejects_unknown_mode():
     from deepsee_tpu.serve import export_serving
 
