@@ -7,6 +7,12 @@ forward) in bfloat16 on one chip, and prints ONE JSON line:
   {"metric": "images_per_sec_8x256_inference", "value": N,
    "unit": "img/s/chip", "vs_baseline": N / V100_BASELINE_IPS}
 
+Other configs (the driver runs the bare default; these are opt-in):
+  --name 8x_guided_256x256   guided family: full HR style encode from the
+                             guiding image (configurations.py:9-13)
+  --batch 1                  serving-latency shape
+  --encode_share             additionally time the style encode alone
+
 Methodology: the jitted step takes the previous step's scalar output as a
 token and folds it into its input, so successive calls form a true on-device
 dependency chain; fetching the final scalar syncs the whole chain.  This
@@ -33,7 +39,7 @@ import numpy as np
 
 V100_BASELINE_IPS = 6.0
 # batch 32 halves the tunnel-RTT share vs 16: 100.8 vs 97.5 img/s measured
-BATCH = 32
+DEFAULT_BATCH = 32
 CALLS = 12
 
 
@@ -48,59 +54,99 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 quantized serving path (opt-in; the headline "
                          "metric stays bf16)")
+    ap.add_argument("--name", default="8x_independent_256x256",
+                    help="preset to benchmark (guided presets add the full "
+                         "HR guiding-image style encode)")
+    ap.add_argument("--batch", type=int, default=DEFAULT_BATCH)
+    ap.add_argument("--encode_share", action="store_true",
+                    help="also time the style encode alone (guided models: "
+                         "the full 256px HR encoder; independent: the mini "
+                         "LR encoder)")
     args = ap.parse_args()
     quant_ctx = contextlib.nullcontext()
     if args.int8:
         from deepsee_tpu.models.layers import int8_inference
         quant_ctx = int8_inference()
 
-    exp = get_preset("8x_independent_256x256").replace(is_train=False)
+    exp = get_preset(args.name).replace(is_train=False)
     system = SRSystem(exp)
     cfg = exp.model
+    guided = cfg.guiding_style_image
+    batch_n = args.batch
 
     variables = system.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
     batch = {
         "image_hr": jnp.asarray(
-            np.tanh(rng.randn(BATCH, cfg.crop_size, cfg.crop_size, 3)),
+            np.tanh(rng.randn(batch_n, cfg.crop_size, cfg.crop_size, 3)),
             jnp.float32),
         "label": jnp.asarray(
-            rng.randint(0, cfg.label_nc, (BATCH, cfg.crop_size, cfg.crop_size)),
+            rng.randint(0, cfg.label_nc,
+                        (batch_n, cfg.crop_size, cfg.crop_size)),
             jnp.int32),
     }
+    if guided:
+        batch["guiding_image"] = jnp.asarray(
+            np.tanh(rng.randn(batch_n, cfg.crop_size, cfg.crop_size, 3)),
+            jnp.float32)
+        batch["guiding_label"] = jnp.asarray(
+            rng.randint(0, cfg.label_nc,
+                        (batch_n, cfg.crop_size, cfg.crop_size)),
+            jnp.int32)
 
     @jax.jit
     def infer(g_vars, e_vars, batch, token):
         batch = dict(batch)
         batch["image_hr"] = batch["image_hr"] + token * 0.0  # chain dep
         pre = system.preprocess(batch)
-        fake, _, _ = system.generate(g_vars, e_vars, pre, use_full=False,
+        fake, _, _ = system.generate(g_vars, e_vars, pre, use_full=guided,
                                      no_noise=True, train=False)
         # scalar output: forces full computation, negligible transfer
         return jnp.mean(jnp.abs(fake))
 
-    def run_chain(depth):
+    @jax.jit
+    def encode(e_vars, batch, token):
+        batch = dict(batch)
+        batch["image_hr"] = batch["image_hr"] + token * 0.0
+        pre = system.preprocess(batch)
+        style = system.encode_style(e_vars, pre, use_full=guided,
+                                    no_noise=True, train=False)
+        return jnp.mean(jnp.abs(style))
+
+    def run_chain(fn, fn_args, depth):
         token = jnp.float32(0.0)
         for _ in range(depth):
-            token = infer(variables.g, variables.e, batch, token)
+            token = fn(*fn_args, batch, token)
         return float(token)  # syncs the whole chain
 
-    with quant_ctx:  # trace (first call) must happen inside the context
-        run_chain(2)  # compile + warmup
-
+    def timed(fn, fn_args):
+        run_chain(fn, fn_args, 2)  # compile + warmup
         depth = 4
         times = []
         for _ in range(CALLS // depth):
             t0 = time.perf_counter()
-            run_chain(depth)
+            run_chain(fn, fn_args, depth)
             times.append((time.perf_counter() - t0) / depth)
+        return float(np.median(times))
 
-    ips = BATCH / float(np.median(times))
-    ms_per_batch = float(np.median(times)) * 1000.0
-    print(json.dumps({
-        "metric": ("images_per_sec_8x256_inference_int8" if args.int8
-                   else "images_per_sec_8x256_inference"),
+    with quant_ctx:  # trace (first call) must happen inside the context
+        sec = timed(infer, (variables.g, variables.e))
+        encode_ms = (round(timed(encode, (variables.e,)) * 1000.0, 1)
+                     if args.encode_share else None)
+
+    ips = batch_n / sec
+    ms_per_batch = sec * 1000.0
+    default_run = (args.name == "8x_independent_256x256"
+                   and batch_n == DEFAULT_BATCH)
+    if default_run:
+        metric = ("images_per_sec_8x256_inference_int8" if args.int8
+                  else "images_per_sec_8x256_inference")
+    else:
+        metric = (f"images_per_sec_{args.name}_b{batch_n}_inference"
+                  + ("_int8" if args.int8 else ""))
+    out = {
+        "metric": metric,
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(ips / V100_BASELINE_IPS, 2),
@@ -109,10 +155,14 @@ def main() -> None:
         # on one V100 (derivation in BASELINE.md "V100 baseline estimate")
         "baseline_basis": "analytic_v100_estimate_6ips",
         # measured device-side numbers that do not lean on the estimate
-        "batch": BATCH,
+        "batch": batch_n,
         "ms_per_batch": round(ms_per_batch, 1),
-        "ms_per_image": round(ms_per_batch / BATCH, 2),
-    }))
+        "ms_per_image": round(ms_per_batch / batch_n, 2),
+    }
+    if encode_ms is not None:
+        out["encode_ms_per_batch"] = encode_ms
+        out["encode_share"] = round(encode_ms / ms_per_batch, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

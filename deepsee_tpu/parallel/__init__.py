@@ -5,4 +5,5 @@ from deepsee_tpu.parallel.mesh import (
     shard_system_variables,
     shard_train_state,
     system_sharding,
+    train_state_shardings,
 )

@@ -228,38 +228,50 @@ def _map_like(tree, template_shardings, fn, expect: str = ""):
     return out
 
 
+def train_state_shardings(state, mesh: Mesh, shard_model: bool = True,
+                          min_shard_ch: int = _MIN_SHARD_CH):
+    """A NamedSharding pytree mirroring a TrainState.
+
+    Works on a state of real arrays OR of ShapeDtypeStructs (jax.eval_shape)
+    — the latter is how the AOT topology path (scripts/aot_hbm.py) gets
+    compiler-measured per-chip memory for a described slice without owning
+    the chips.  Variables get the tensor-parallel specs; the Adam moments
+    (which mirror the param pytrees — optax inits them with zeros_like) get
+    their parameters' shardings; everything else replicates."""
+    rep = NamedSharding(mesh, P())
+
+    sys_sh = lambda v: (  # noqa: E731
+        system_sharding(v, mesh, shard_model, min_shard_ch) if v else v)
+    g_sh, e_sh = sys_sh(state.g_vars), sys_sh(state.e_vars)
+    d_sh, vgg_sh = sys_sh(state.d_vars), sys_sh(state.vgg)
+
+    # G optimizer owns {"g": g_params, "e": e_params}; D optimizer owns the
+    # discriminator params (train/state.py g_diff_params / create_train_state)
+    diff_sh = {"g": g_sh["params"]}
+    if state.e_vars is not None:
+        diff_sh["e"] = e_sh["params"]
+
+    def opt_shardings(opt_state, template, expect):
+        marked = _map_like(opt_state, template, lambda _sub, sh: sh,
+                           expect=expect)
+        return jax.tree_util.tree_map(
+            lambda x: x if isinstance(x, jax.sharding.Sharding) else rep,
+            marked)
+
+    return state.replace(
+        step=rep, rng=rep,
+        g_vars=g_sh, e_vars=e_sh, d_vars=d_sh, vgg=vgg_sh,
+        opt_g=opt_shardings(state.opt_g, diff_sh, "G Adam moments"),
+        opt_d=opt_shardings(state.opt_d, d_sh["params"], "D Adam moments"),
+    )
+
+
 def shard_train_state(state, mesh: Mesh, shard_model: bool = True,
                       min_shard_ch: int = _MIN_SHARD_CH):
     """Shard a TrainState's variables AND its Adam moments over the mesh.
 
-    The optimizer moments mirror the parameter pytrees exactly (optax inits
-    them with zeros_like), so they get the parameters' shardings — without
-    this they'd replicate, costing 2x the param-sharding savings back in
-    f32.  Spatial mode callers pass shard_model=False (params replicated,
-    activations H-sharded)."""
-    place = lambda sub, sh: jax.tree_util.tree_map(  # noqa: E731
-        jax.device_put, sub, sh)
-
-    shard = lambda v, m=True: (  # noqa: E731
-        shard_system_variables(v, mesh, m and shard_model, min_shard_ch)
-        if v else v)
-    new = state.replace(
-        g_vars=shard(state.g_vars),
-        e_vars=shard(state.e_vars),
-        d_vars=shard(state.d_vars),
-        vgg=shard(state.vgg),
-    )
-
-    # G optimizer owns {"g": g_params, "e": e_params}; D optimizer owns the
-    # discriminator params (train/state.py g_diff_params / create_train_state)
-    diff_sh = {"g": system_sharding(new.g_vars, mesh, shard_model,
-                                    min_shard_ch)["params"]}
-    if new.e_vars is not None:
-        diff_sh["e"] = system_sharding(new.e_vars, mesh, shard_model,
-                                       min_shard_ch)["params"]
-    d_sh = system_sharding(new.d_vars, mesh, shard_model,
-                           min_shard_ch)["params"]
-    return new.replace(
-        opt_g=_map_like(new.opt_g, diff_sh, place, expect="G Adam moments"),
-        opt_d=_map_like(new.opt_d, d_sh, place, expect="D Adam moments"),
-    )
+    Without the moment sharding they'd replicate, costing 2x the
+    param-sharding savings back in f32.  Spatial mode callers pass
+    shard_model=False (params replicated, activations H-sharded)."""
+    shardings = train_state_shardings(state, mesh, shard_model, min_shard_ch)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
