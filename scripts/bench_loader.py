@@ -58,6 +58,11 @@ def make_dataset(root: str, n: int, image_px: int = 1024,
         lab = Image.fromarray(lab_small).resize((label_px, label_px),
                                                 Image.NEAREST)
         lab.save(os.path.join(lab_dir, f"{i}.png"))
+    # identities CSV (groups of 4) so guided presets can run too
+    with open(os.path.join(root, "identities.csv"), "w") as f:
+        f.write("hq_file_id,identity\n")
+        for i in range(n):
+            f.write(f"{i},{i // 4}\n")
 
 
 def main():
@@ -80,6 +85,7 @@ def main():
     exp = exp.replace(data=dataclasses.replace(
         exp.data, image_dir=os.path.join(args.root, "images"),
         label_dir=os.path.join(args.root, "labels"),
+        identities_file=os.path.join(args.root, "identities.csv"),
         no_pairing_check=True))
     dataset = create_dataset(exp, phase="train")
 
