@@ -105,10 +105,12 @@ def main():
         e_vars = (dict(state.e_vars, params=e_params)
                   if state.e_vars is not None else None)
         pre = system.preprocess(batch)
+        # train=True to match the training trace (spectral u/v update needs
+        # mutable collections; the mutations are discarded)
         fake, _, _ = system.generate(
             g_vars, e_vars, pre, use_full=cfg.guiding_style_image,
             no_noise=not cfg.add_noise, train=True,
-            rngs={"noise": key}, mutable=False)
+            rngs={"noise": key}, mutable=True)
         return fake, pre
 
     def g_fwd(token):
@@ -141,7 +143,7 @@ def main():
         fake = fake_static + token * 0.0
         pf, pr, _ = system.discriminate(
             state.d_vars, pre_static["input_semantics"], fake,
-            pre_static["image_hr"], train=True, mutable=False)
+            pre_static["image_hr"], train=True, mutable=True)
         return sum(jnp.mean(t[-1]) for t in pf) + sum(
             jnp.mean(t[-1]) for t in pr)
 
@@ -152,7 +154,7 @@ def main():
             d_vars = dict(state.d_vars, params=d_params)
             pf, pr, _ = system.discriminate(
                 d_vars, pre_static["input_semantics"], fake,
-                pre_static["image_hr"], train=True, mutable=False)
+                pre_static["image_hr"], train=True, mutable=True)
             return (gan_loss(pf, False, mode=tc.gan_mode)
                     + gan_loss(pr, True, mode=tc.gan_mode))
 
