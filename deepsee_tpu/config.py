@@ -116,6 +116,18 @@ class ModelConfig:
     # behavior, so we replicate it by default for parity).
     max_fm_size: int = 256          # base_options.py:82
     replicate_fm_resize_quirk: bool = True
+    # TPU-native experiment, MEASURED OFF: when the capped SEAN maps would
+    # be nearest-2x-upsampled before the 3x3 modulation conv (the 512px
+    # hot path), compute the conv at LOW resolution with the folded
+    # transposed kernel instead (models/normalization.py::
+    # _conv_on_nearest_up2) — exact same math, 4/9 of the MACs.  All three
+    # fold formulations benchmarked SLOWER than the literal
+    # upsample-then-conv on the real chip (train step 364-538 vs 320 ms,
+    # fwd 62.8 vs 57.7 ms): XLA:TPU fuses the nearest-upsample broadcast
+    # into the conv for free, and the fold's layout-changing copies cost
+    # more at the HBM roof than the saved MXU time.  Kept as an opt-in
+    # with exactness tests (tests/test_folded_modconv.py).
+    fold_upsampled_mod_conv: bool = False
 
     # stochastic style / noise
     add_noise: bool = False         # base_options.py:44 (presets switch it on)

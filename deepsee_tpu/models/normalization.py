@@ -54,9 +54,7 @@ class ConvParams(nn.Module):
         return kernel, bias
 
 
-def _conv(x, kernel, bias, dtype, pad, train: bool = False):
-    from jax.ad_checkpoint import checkpoint_name
-
+def _conv_raw(x, kernel, dtype, padding, train: bool = False):
     from deepsee_tpu.models.layers import _INT8_MODE, _int8_conv
 
     if (_INT8_MODE["on"] and not train
@@ -65,18 +63,80 @@ def _conv(x, kernel, bias, dtype, pad, train: bool = False):
         # serving-only W8A8 path (layers.int8_inference); like Conv2d, the
         # train gate keeps a training trace full-precision even if someone
         # opens the context around it (jnp.round has zero gradient)
-        y = _int8_conv(x, kernel, (1, 1), ((pad, pad), (pad, pad)),
-                       smooth=_INT8_MODE["smooth"]).astype(dtype)
-    else:
-        y = lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype), (1, 1),
-            ((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return _int8_conv(x, kernel, (1, 1), padding,
+                          smooth=_INT8_MODE["smooth"]).astype(dtype)
+    return lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv(x, kernel, bias, dtype, pad, train: bool = False):
+    from jax.ad_checkpoint import checkpoint_name
+
+    y = _conv_raw(x, kernel, dtype, ((pad, pad), (pad, pad)), train=train)
     # Deliberately NOT tagged "conv_out": the "convs" remat policy saves
     # trunk conv outputs only.  Saving these 2C-channel modulation outputs
     # too was measured to exceed HBM at 256^2 b16 (13.6 -> >16 GiB); their
     # recompute (~0.5x a trunk conv each) is part of the policy's price,
     # documented in config.py.  Own tag so a future policy can elect them.
+    return checkpoint_name(y + bias.astype(dtype), "mod_conv_out")
+
+
+# Fold matrix for _conv_on_nearest_up2: row s of the 4-tap transposed
+# kernel sums the 3x3 taps (u) that read the same source pixel —
+# W4[0]=K[0], W4[1]=K[0]+K[1], W4[2]=K[1]+K[2], W4[3]=K[2] per dimension.
+_UP2_FOLD = jnp.asarray([[1.0, 0.0, 0.0],
+                         [1.0, 1.0, 0.0],
+                         [0.0, 1.0, 1.0],
+                         [0.0, 0.0, 1.0]])
+
+
+def _conv_on_nearest_up2(a, kernel, bias, dtype, train: bool = False):
+    """conv3x3(nearest_up2(a)) + bias, computed WITHOUT the upsample.
+
+    The reference nearest-2x-upsamples the capped SEAN feature maps and
+    then runs the 3x3 modulation convs on them (normalization.py:188-190 +
+    :192-213).  nearest_up2 is a stride-2 transposed conv with a 2x2 ones
+    kernel, so the composition is a single stride-2 transposed conv with
+    the 4x4 composed kernel W[s,r] = sum_{u,v} F[s,u] F[r,v] K[u,v]
+    (F = _UP2_FOLD): each output pixel reads exactly the 2x2 source pixels
+    its 3x3 window touched, i.e. 4/9 of the MACs of conv-after-upsample,
+    1/4 of the input reads, and the duplicated full-res map is never
+    materialized.  Identical math in real arithmetic — tap sums happen in
+    the kernels' f32 before the compute-dtype cast.
+
+    MEASURED OFF by default for training (cfg.fold_upsampled_mod_conv
+    gates it; see ARCHITECTURE.md "folded subpixel study").  Three
+    formulations were benchmarked on the 512px b1 guided train step
+    against the literal upsample-then-conv (320 ms): four phase convs +
+    gather interleave (457 ms), this lhs-dilated conv (364 ms; forward
+    phase alone 62.8 vs 57.7 ms), and one 2x2 conv with phase-stacked
+    output channels + slice/stack interleave (538 ms).  The 4/9 MAC
+    saving (~19 ms of MXU time) cannot pay for the
+    layout-changing copies every fold forces at the HBM roof — XLA:TPU
+    fuses the nearest-upsample broadcast into the conv input pipeline for
+    free, so the literal form wins.  The lhs-dilated variant (the best of
+    the three) is retained behind the flag.
+
+    The int8 serving path keeps the literal upsample-then-conv
+    (__int8_conv has no dilation support); bf16 paths take the fold when
+    the flag is on.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    from deepsee_tpu.models.layers import _INT8_MODE
+
+    if (_INT8_MODE["on"] and not train
+            and a.shape[-1] >= _INT8_MODE["min_ch"]
+            and kernel.shape[-1] >= _INT8_MODE["min_ch"]):
+        up = resize2d(a, (2 * a.shape[1], 2 * a.shape[2]), method="nearest")
+        return _conv(up, kernel, bias, dtype, 1, train=train)
+
+    fold = _UP2_FOLD.astype(kernel.dtype)
+    w = jnp.einsum("su,rv,uvio->srio", fold, fold, kernel)
+    y = lax.conv_general_dilated(
+        a.astype(dtype), w.astype(dtype), (1, 1), ((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return checkpoint_name(y + bias.astype(dtype), "mod_conv_out")
 
 
@@ -158,6 +218,11 @@ class _SEANCore(nn.Module):
     @nn.compact
     def __call__(self, x_hw: Tuple[int, int], segmap: jnp.ndarray,
                  style: jnp.ndarray):
+        """Returns (actv, style_map, up2).  When up2 is True the maps are
+        LOW-resolution (exactly half of x_hw) and the caller must run its
+        modulation conv via _conv_on_nearest_up2 — same math as nearest-
+        upsampling here, without ever materializing the duplicated map
+        (the 512px hot path: fm capped at 256, activations at 512)."""
         cfg = self.cfg
         ks = cfg.norm_g_spec.kernel_size
         pad = (ks // 2, ks // 2)
@@ -168,7 +233,14 @@ class _SEANCore(nn.Module):
                               name="mlp_shared")(seg.astype(self.dtype)))
         style_map = style_to_pixels(seg, style.astype(seg.dtype)).astype(self.dtype)
 
+        up2 = False
         if fm_hw != tuple(x_hw):
+            if (cfg.fold_upsampled_mod_conv and ks == 3
+                    and tuple(x_hw) == (2 * fm_hw[0], 2 * fm_hw[1])):
+                up2 = True
+                if cfg.replicate_fm_resize_quirk:
+                    style_map = actv
+                return actv, style_map, up2
             actv = resize2d(actv, x_hw, method="nearest")
             if cfg.replicate_fm_resize_quirk:
                 # normalization.py:190/:277 assigns interpolate(actv) to
@@ -176,7 +248,7 @@ class _SEANCore(nn.Module):
                 style_map = actv
             else:
                 style_map = resize2d(style_map, x_hw, method="nearest")
-        return actv, style_map
+        return actv, style_map, up2
 
 
 class SEANBlock(nn.Module):
@@ -196,7 +268,7 @@ class SEANBlock(nn.Module):
 
         normalized = ParamFreeNorm(self.norm_nc, spec.param_free_kind,
                                    self.dtype, name="pfn")(x, train=train)
-        actv, style_map = _SEANCore(cfg, self.dtype, name="core")(
+        actv, style_map, up2 = _SEANCore(cfg, self.dtype, name="core")(
             x.shape[1:3], segmap, style)
 
         # torch init: nn.Parameter(torch.rand(1)) — uniform [0, 1)
@@ -227,7 +299,9 @@ class SEANBlock(nn.Module):
                                 (1.0 - wb) * bb + wb * bbs])
 
         inp = jnp.concatenate([actv, style_map], axis=-1)
-        mod = _conv(inp, kernel, bias, self.dtype, ks // 2, train=train)
+        mod = (_conv_on_nearest_up2(inp, kernel, bias, self.dtype, train=train)
+               if up2 else
+               _conv(inp, kernel, bias, self.dtype, ks // 2, train=train))
         c = self.norm_nc
         return normalized * mod[..., :c] + mod[..., c:]
 
@@ -249,7 +323,7 @@ class PureSEANBlock(nn.Module):
 
         normalized = ParamFreeNorm(self.norm_nc, spec.param_free_kind,
                                    self.dtype, name="pfn")(x, train=train)
-        _, style_map = _SEANCore(cfg, self.dtype, name="core")(
+        _, style_map, up2 = _SEANCore(cfg, self.dtype, name="core")(
             x.shape[1:3], segmap, style)
 
         # gamma_s/beta_s share their input: one conv with 2*C outputs
@@ -259,6 +333,10 @@ class PureSEANBlock(nn.Module):
                               name="mlp_style_beta")()
         kernel = jnp.concatenate([kgs, kbs], axis=3)
         bias = jnp.concatenate([bgs, bbs])
-        mod = _conv(style_map, kernel, bias, self.dtype, ks // 2, train=train)
+        mod = (_conv_on_nearest_up2(style_map, kernel, bias, self.dtype,
+                                    train=train)
+               if up2 else
+               _conv(style_map, kernel, bias, self.dtype, ks // 2,
+                     train=train))
         c = self.norm_nc
         return normalized * mod[..., :c] + mod[..., c:]
