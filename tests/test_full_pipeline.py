@@ -14,6 +14,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from PIL import Image
 
 from deepsee_tpu.config import tiny_test_experiment
@@ -36,8 +37,14 @@ def _restore_variables(train_exp):
                                   d=None, vgg=None)
 
 
-def test_train_then_demo_evaluate_export(tmp_path):
+@pytest.mark.parametrize("guided", [False, True])
+def test_train_then_demo_evaluate_export(tmp_path, guided):
     exp = tiny_test_experiment().replace(checkpoints_dir=str(tmp_path))
+    if guided:
+        exp = exp.replace(name="tiny_test_guided",
+                          model=dataclasses.replace(
+                              exp.model, net_e="fullstyle",
+                              guiding_style_image=True))
     exp = exp.replace(train=dataclasses.replace(
         exp.train, niter=1, niter_decay=0, print_freq=10**9,
         save_latest_freq=2, display_freq=10**9, evaluation_freq=10**9))
@@ -62,20 +69,29 @@ def test_train_then_demo_evaluate_export(tmp_path):
     rng = np.random.RandomState(0)
     lr_path = str(tmp_path / "lr.png")
     sem_path = str(tmp_path / "sem.png")
+    hr_path = str(tmp_path / "hr.png")
     Image.fromarray(rng.randint(0, 255, (cfg.start_size, cfg.start_size, 3),
                                 dtype=np.uint8)).save(lr_path)
     Image.fromarray(rng.randint(0, cfg.label_nc,
                                 (cfg.crop_size, cfg.crop_size),
                                 dtype=np.uint8)).save(sem_path)
+    Image.fromarray(rng.randint(0, 255, (cfg.crop_size, cfg.crop_size, 3),
+                                dtype=np.uint8)).save(hr_path)
+    # the guided family's demo style source is a guiding HR image
+    demo_kw = ({"inputs_hr": [{"path_image_hr": hr_path,
+                               "path_semantics": sem_path}]}
+               if guided else {})
 
     demo = Demo(infer_exp)
     random_init_kernel = np.asarray(jax.device_get(
         demo.variables.g["params"]["initial"]["kernel"]))
     # training moved the weights; loading must carry that into the demo
     assert np.abs(trained_kernel - random_init_kernel).max() > 0
-    r_rand = demo.run(lr_path, sem_path, out_dir=str(tmp_path / "demo_rand"))
+    r_rand = demo.run(lr_path, sem_path, out_dir=str(tmp_path / "demo_rand"),
+                      **demo_kw)
     demo.variables = variables
-    r = demo.run(lr_path, sem_path, out_dir=str(tmp_path / "demo_out"))
+    r = demo.run(lr_path, sem_path, out_dir=str(tmp_path / "demo_out"),
+                 **demo_kw)
     assert os.path.exists(r["save_path"])
     fake_demo = np.asarray(r["fake_image"])
     assert np.isfinite(fake_demo).all()
@@ -104,10 +120,13 @@ def test_train_then_demo_evaluate_export(tmp_path):
     lab = jnp.asarray(rng.randint(0, cfg.label_nc,
                                   (1, cfg.crop_size, cfg.crop_size)),
                       jnp.int32)
+    hr = jnp.asarray(np.tanh(rng.randn(1, cfg.crop_size, cfg.crop_size, 3)),
+                     jnp.float32)
+    e2e_args = (lr, lab, hr, lab) if guided else (lr, lab)
     end_to_end, _ = make_serving_fns(SRSystem(infer_exp), variables)
-    ref_fake, ref_style = jax.jit(end_to_end)(lr, lab)
+    ref_fake, ref_style = jax.jit(end_to_end)(*e2e_args)
     fn = load_serving(serving_dir)
-    fake, style = fn(lr, lab)
+    fake, style = fn(*e2e_args)
     np.testing.assert_allclose(np.asarray(fake), np.asarray(ref_fake),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(style), np.asarray(ref_style),
