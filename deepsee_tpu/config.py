@@ -205,6 +205,15 @@ class TrainConfig:
     # folded SEAN/SPADE modulation convs (~0.5x a trunk conv each — saving
     # those too was measured to blow past HBM at 256^2 b16)
     remat_policy: str = "full"
+    # Reuse the G-step fake for the D update instead of regenerating with
+    # the just-updated G (the reference regenerates: sr_model.py:550-553
+    # runs generate_fake again inside compute_discriminator_loss, after the
+    # G optimizer already stepped in train.py:40-44).  Reusing is the
+    # classic single-forward GAN schedule (DCGAN/StyleGAN style: D trains
+    # on the exact fake G just trained on) — a deliberate, opt-in deviation
+    # that removes one full generator forward per step (measured 1.27x step
+    # throughput at 256^2, 1.21x at 512^2; table in ARCHITECTURE.md).
+    reuse_fake: bool = False
 
     # Pretrained perceptual-network weight files (torchvision-format .pth or
     # .npz).  The reference trains with torchvision's *pretrained* VGG19

@@ -88,22 +88,25 @@ def make_train_step(system: SRSystem, *, do_g: bool = True, donate: bool = True)
                               opt_g=opt_g)
         return state, losses, fake
 
-    def d_update(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
-        k_coin, k_noise = jax.random.split(key)
-        use_full, no_noise = coins(k_coin)
+    def d_update(state: TrainState, batch, key,
+                 fake=None) -> Tuple[TrainState, Dict]:
         real = batch["image_hr"]
         sem = batch["input_semantics"]
 
-        # regenerate under stop_gradient with fresh randomness
-        fake, _, (mut_e, mut_g) = system.generate(
-            state.g_vars, state.e_vars, batch, use_full=use_full,
-            no_noise=no_noise, train=True, rngs={"noise": k_noise},
-            mutable=True)
+        if fake is None:
+            # regenerate under stop_gradient with fresh randomness using
+            # the just-updated G (faithful: sr_model.py:550-553)
+            k_coin, k_noise = jax.random.split(key)
+            use_full, no_noise = coins(k_coin)
+            fake, _, (mut_e, mut_g) = system.generate(
+                state.g_vars, state.e_vars, batch, use_full=use_full,
+                no_noise=no_noise, train=True, rngs={"noise": k_noise},
+                mutable=True)
+            state = state.replace(
+                g_vars=merge_mutations(state.g_vars, mut_g),
+                e_vars=(merge_mutations(state.e_vars, mut_e)
+                        if state.e_vars is not None else None))
         fake = jax.lax.stop_gradient(fake)
-        state = state.replace(
-            g_vars=merge_mutations(state.g_vars, mut_g),
-            e_vars=(merge_mutations(state.e_vars, mut_e)
-                    if state.e_vars is not None else None))
 
         def loss_fn(d_params):
             d_vars = dict(state.d_vars, params=d_params)
@@ -128,10 +131,13 @@ def make_train_step(system: SRSystem, *, do_g: bool = True, donate: bool = True)
         rng, kg, kd = jax.random.split(state.rng, 3)
         state = state.replace(rng=rng)
         logs: Dict[str, jnp.ndarray] = {}
+        fake = None
         if do_g:
-            state, g_losses, _ = g_update(state, batch, kg)
+            state, g_losses, g_fake = g_update(state, batch, kg)
             logs.update(g_losses)
-        state, d_losses = d_update(state, batch, kd)
+            if tc.reuse_fake:
+                fake = g_fake
+        state, d_losses = d_update(state, batch, kd, fake=fake)
         logs.update(d_losses)
         state = state.replace(step=state.step + 1)
         return state, logs

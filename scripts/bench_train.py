@@ -34,6 +34,8 @@ def main():
     p.add_argument("--remat_policy", default="full",
                    choices=("full", "convs"))
     p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--reuse_fake", action="store_true",
+                   help="single-forward GAN schedule (opt-in deviation)")
     args = p.parse_args()
 
     import jax
@@ -47,7 +49,7 @@ def main():
     exp = get_preset(args.name)
     exp = exp.replace(train=dataclasses.replace(
         exp.train, batch_size=args.batch_size, remat=args.remat,
-        remat_policy=args.remat_policy))
+        remat_policy=args.remat_policy, reuse_fake=args.reuse_fake))
     cfg = exp.model
     system = SRSystem(exp)
     state = create_train_state(system, jax.random.PRNGKey(0))

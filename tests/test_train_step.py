@@ -114,6 +114,57 @@ def test_training_dynamics_overfit_one_batch():
     assert 0.05 < last["D_real"] < 2.5
 
 
+def test_reuse_fake_single_forward_schedule():
+    """Opt-in `reuse_fake` (TrainConfig): D trains on the G-step fake
+    instead of regenerating with the just-updated G (deviation from
+    sr_model.py:550-553, documented in config.py).  Must (a) run and
+    learn, and (b) actually remove one generator forward from the
+    compiled step — checked via XLA cost analysis FLOPs."""
+    import dataclasses
+
+    exp = tiny_test_experiment()
+    batch = _batch(exp.model, exp.train.batch_size)
+
+    def compiled_flops(reuse):
+        e = exp.replace(train=dataclasses.replace(exp.train,
+                                                  reuse_fake=reuse))
+        system = SRSystem(e)
+        state = create_train_state(system, jax.random.PRNGKey(0))
+        step = make_train_step(system, donate=False)
+        lowered = step.lower(state, batch)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"]), system, state, step
+
+    flops_faithful, _, _, _ = compiled_flops(False)
+    flops_reuse, system, state, step = compiled_flops(True)
+    # one full G+E forward (incl. its preprocessing share) disappears
+    assert flops_reuse < 0.92 * flops_faithful, (flops_reuse, flops_faithful)
+
+    state, logs = step(state, batch)
+    state, logs = step(state, batch)
+    logs = jax.device_get(logs)
+    for name in ("GAN", "GAN_Feat", "VGG", "D_Fake", "D_real"):
+        assert np.isfinite(logs[name]), f"{name} not finite under reuse_fake"
+
+    # D-only steps (do_g=False, D_steps_per_G > 1) have no G-step fake to
+    # reuse and must still regenerate — same FLOPs with or without the flag
+    def d_only_flops(reuse):
+        e = exp.replace(train=dataclasses.replace(exp.train,
+                                                  reuse_fake=reuse))
+        sys_ = SRSystem(e)
+        st = create_train_state(sys_, jax.random.PRNGKey(0))
+        d_step = make_train_step(sys_, do_g=False, donate=False)
+        cost = d_step.lower(st, batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"])
+
+    np.testing.assert_allclose(d_only_flops(True), d_only_flops(False),
+                               rtol=1e-6)
+
+
 def test_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")
