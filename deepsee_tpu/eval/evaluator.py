@@ -9,6 +9,12 @@ samples, and the FID-500 fallback on numerical failure
 TPU-first: one jitted step computes the fake image AND all per-sample
 metrics AND both activation vectors in a single compiled sweep — the
 reference loops per sample over cv2/torch calls on host.
+
+Multi-host: the val/eval DataLoaders are sharded per process (each host
+sweeps a 1/N stride); `run` gathers every host's per-sample metric values
+and Inception activations before aggregating, so the reported mean/std and
+FID cover the full `num_samples` regardless of process count.  The
+per-sample CSV covers the main host's stripe only (paths are host-local).
 """
 
 from __future__ import annotations
@@ -27,6 +33,26 @@ from deepsee_tpu.eval import lpips as lpips_mod
 from deepsee_tpu.eval.metrics import (MetricsAccumulator, ms_ssim, psnr,
                                       rmse, ssim_matlab, to_uint8_values)
 from deepsee_tpu.system import SRSystem
+from deepsee_tpu.utils.files import is_main_process
+
+
+def _gather_across_hosts(tree):
+    """Concatenate equal-shape per-host arrays along axis 0 (process order).
+    Identity in single-process runs."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return jax.tree_util.tree_map(
+        np.asarray, multihost_utils.process_allgather(tree, tiled=True))
+
+
+def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
+    """Pad (or truncate) axis 0 to exactly n rows; padding is zeros (rows
+    beyond the validity mask are dropped after the gather)."""
+    if arr.shape[0] >= n:
+        return arr[:n]
+    pad = np.zeros((n - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad], 0)
 
 
 def get_validation_loader(exp: Experiment, batch_size: Optional[int] = None):
@@ -95,7 +121,7 @@ class InferenceEvaluator:
         self.compute_lpips = compute_lpips
 
         self.writer = None
-        if write_details:
+        if write_details and is_main_process():
             assert folder_out
             self.writer = MetricsCSVWriter(
                 folder_out, ["ID", "PSNR", "SSIM", "MSSSIM", "RMSE", "LPIPS"])
@@ -148,21 +174,21 @@ class InferenceEvaluator:
 
     def run(self, variables, dataloader: Iterable) -> Dict[str, float]:
         start = time.time()
-        acc = MetricsAccumulator()
+        metric_names = ["psnr", "ssim", "ms_ssim", "rmse"] + (
+            ["lpips"] if self.compute_lpips else [])
+        rows: Dict[str, list] = {name: [] for name in metric_names}
         act_fake, act_real = [], []
         n_seen = 0
+        # each host sweeps its 1/N stripe; together they cover num_samples
+        local_target = -(-self.num_samples // jax.process_count())
 
         for batch in dataloader:
-            if n_seen >= self.num_samples:
+            if n_seen >= local_target:
                 break
             fake, real = self.run_batch(variables, batch)
             m = jax.device_get(self._metrics(fake, real))
-            acc.add("psnr", m["psnr"])
-            acc.add("ssim", m["ssim"])
-            acc.add("ms_ssim", m["ms_ssim"])
-            acc.add("rmse", m["rmse"])
-            if self.compute_lpips:
-                acc.add("lpips", m["lpips"])
+            for name in metric_names:
+                rows[name].append(np.atleast_1d(np.asarray(m[name])))
             if self.compute_fid:
                 act_fake.append(m["act_fake"])
                 act_real.append(m["act_real"])
@@ -176,11 +202,27 @@ class InferenceEvaluator:
                         m["lpips"][i] if self.compute_lpips else ""])
             n_seen += len(m["psnr"])
 
+        local = {name: (np.concatenate(v, 0) if v
+                        else np.zeros((0,), np.float32))
+                 for name, v in rows.items()}
+        if self.compute_fid:
+            dim = fid_mod.POOL3_DIM
+            local["act_fake"] = (np.concatenate(act_fake, 0) if act_fake
+                                 else np.zeros((0, dim), np.float32))
+            local["act_real"] = (np.concatenate(act_real, 0) if act_real
+                                 else np.zeros((0, dim), np.float32))
+        merged = self._merge_hosts(local, local_target)
+
+        acc = MetricsAccumulator()
+        for name in metric_names:
+            if len(merged[name]):
+                acc.add(name, merged[name])
+
         result: Dict[str, float] = {}
-        if self.compute_fid and act_fake:
-            af = np.concatenate(act_fake, 0)
-            ar = np.concatenate(act_real, 0)
-            if self.write and self.folder_out:
+        if self.compute_fid and len(merged["act_fake"]):
+            af = merged["act_fake"]
+            ar = merged["act_real"]
+            if self.write and self.folder_out and is_main_process():
                 for arr, tag in ((af, "fake"), (ar, "real")):
                     mu, sigma = fid_mod.calculate_statistics(arr)
                     np.savez_compressed(
@@ -196,3 +238,19 @@ class InferenceEvaluator:
         result.update(acc.result())
         result["eval_seconds"] = time.time() - start
         return result
+
+    def _merge_hosts(self, local: Dict[str, np.ndarray],
+                     local_target: int) -> Dict[str, np.ndarray]:
+        """All-gather every host's per-sample rows.  Hosts may end with
+        unequal counts (strided sharding, exhausted loaders), so rows are
+        padded to local_target with an explicit validity mask and filtered
+        after the gather.  No-op in single-process runs."""
+        if jax.process_count() == 1:
+            return local
+        n_local = len(next(iter(local.values())))
+        padded = {k: _pad_rows(v, local_target) for k, v in local.items()}
+        padded["_valid"] = (np.arange(local_target) < n_local).astype(
+            np.float32)
+        gathered = _gather_across_hosts(padded)
+        keep = gathered.pop("_valid") > 0.5
+        return {k: v[keep] for k, v in gathered.items()}

@@ -208,6 +208,9 @@ def _inception_e(params, x, name, pool_max: bool):
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+POOL3_DIM = 2048  # Mixed_7c output channels = FID feature width
+
+
 def inception_pool3(params: Dict, images: jnp.ndarray) -> jnp.ndarray:
     """images NHWC in [-1, 1] -> (B, 2048) pool3 activations.
 

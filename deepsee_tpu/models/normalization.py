@@ -24,6 +24,7 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from deepsee_tpu.config import ModelConfig, NormGSpec
@@ -85,10 +86,13 @@ def _conv(x, kernel, bias, dtype, pad, train: bool = False):
 # Fold matrix for _conv_on_nearest_up2: row s of the 4-tap transposed
 # kernel sums the 3x3 taps (u) that read the same source pixel —
 # W4[0]=K[0], W4[1]=K[0]+K[1], W4[2]=K[1]+K[2], W4[3]=K[2] per dimension.
-_UP2_FOLD = jnp.asarray([[1.0, 0.0, 0.0],
-                         [1.0, 1.0, 0.0],
-                         [0.0, 1.0, 1.0],
-                         [0.0, 0.0, 1.0]])
+# (np, not jnp: a module-level jnp constant would initialize the JAX
+# backend at import time, locking the platform before entry points can
+# pin CPU — the CLAUDE.md axon gotcha.  jnp ops accept numpy operands.)
+_UP2_FOLD = np.asarray([[1.0, 0.0, 0.0],
+                        [1.0, 1.0, 0.0],
+                        [0.0, 1.0, 1.0],
+                        [0.0, 0.0, 1.0]], dtype=np.float32)
 
 
 def _conv_on_nearest_up2(a, kernel, bias, dtype, train: bool = False):

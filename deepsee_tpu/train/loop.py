@@ -202,14 +202,25 @@ class Trainer:
         # per-op dispatch it replaces stalled a real 256 px run for minutes
         # on the first display trigger (ARCHITECTURE.md eager-vs-jit
         # measurement: 191 s eager sweep vs 0.2 s jitted).
+        # The generate runs on EVERY host (SPMD collectives inside), but
+        # only the main process fetches and writes; fetching uses this
+        # host's first addressable shard — indexing a global array's [0]
+        # can span non-addressable devices on a multi-host mesh.
         pre = self.system.preprocess_jit(device_batch)
         fake, _ = self.system.generate_jit(
             self.state.g_vars, self.state.e_vars, pre, None,
             self.system.cfg.full_style_image, True, None)
+        from deepsee_tpu.utils.files import is_main_process
+        if not is_main_process():
+            return
+
+        def first_local(arr):
+            return np.asarray(arr.addressable_shards[0].data)[0]
+
         visuals = {
-            "input_label": np.asarray(jax.device_get(pre["label"][0])),
-            "image_lr": np.asarray(jax.device_get(pre["image_lr"][0])),
-            "synthesized_image": np.asarray(jax.device_get(fake[0])),
-            "real_image": np.asarray(jax.device_get(pre["image_hr"][0])),
+            "input_label": first_local(pre["label"]),
+            "image_lr": first_local(pre["image_lr"]),
+            "synthesized_image": first_local(fake),
+            "real_image": first_local(pre["image_hr"]),
         }
         visualizer.display_current_results(visuals, epoch, step)

@@ -37,14 +37,20 @@ class CheckpointManager:
         self.manager = ocp.CheckpointManager(
             self.dir, options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True))
-        # config snapshot next to the weights (base_options.py:196-208)
-        if is_main_process():
-            cfg_path = os.path.join(exp.checkpoints_dir, exp.name,
-                                    "config.json")
-            with open(cfg_path, "w") as f:
-                f.write(exp.to_json())
+        self._config_written = False
 
     def save(self, step: int, state: Any, tag: Optional[str] = None) -> None:
+        # config snapshot next to the weights (base_options.py:196-208).
+        # Written on the SAVE path, not in __init__: restore-only consumers
+        # (demo, evaluation, int8_accuracy) construct a manager from a
+        # CLI-reconstructed config and must not overwrite the trained
+        # run's recorded ground truth.
+        if not self._config_written and is_main_process():
+            cfg_path = os.path.join(self.exp.checkpoints_dir, self.exp.name,
+                                    "config.json")
+            with open(cfg_path, "w") as f:
+                f.write(self.exp.to_json())
+            self._config_written = True
         self.manager.save(step, args=ocp.args.StandardSave(state))
         self.manager.wait_until_finished()
         if tag and is_main_process():

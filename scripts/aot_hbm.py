@@ -55,6 +55,10 @@ def main():
     args = p.parse_args()
 
     import jax
+    # pin the host platform: the described-topology AOT compile needs no
+    # device client, and the axon sitecustomize would otherwise grab the
+    # (single-tenant) TPU the moment any concrete array is built
+    jax.config.update("jax_platforms", "cpu")
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding
 

@@ -44,7 +44,8 @@ def make_dataset(root: str, n: int, image_px: int = 1024,
     img_dir = os.path.join(root, "images")
     lab_dir = os.path.join(root, "labels")
     if (os.path.isdir(img_dir)
-            and len(os.listdir(img_dir)) >= n + 1):  # +files.list maybe
+            and len([f for f in os.listdir(img_dir)
+                     if f.endswith(".jpg")]) >= n):
         return
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(lab_dir, exist_ok=True)
@@ -107,6 +108,10 @@ def main():
                     t0 = time.perf_counter()
                     continue
                 n_img += batch["image_hr"].shape[0]
+        if t0 is None or n_img == 0:
+            raise SystemExit(
+                "need at least two batches to time (the first is warmup); "
+                "raise --n_files/--epochs or lower --batch_size")
         dt = time.perf_counter() - t0
         ips = n_img / dt
         print(json.dumps({

@@ -209,9 +209,23 @@ def main():
 
     results = {}
     for name, fn in phases.items():
-        jfn = fn if name in ("full_step", "d_update_only") else jax.jit(fn)
+        # ONE compile per phase: AOT-lower + compile, then use the SAME
+        # executable for the timing chain and the cost analysis (a fresh
+        # jax.jit(fn) or a .lower() on an already-called wrapper would
+        # recompile — minutes each through the tunnel)
         t_c0 = time.perf_counter()
-        chain(jfn, 1)  # compile
+        if name in ("full_step", "d_update_only"):
+            wrapper = step_g if name == "full_step" else step_d
+            compiled = wrapper.lower(state, batch).compile()
+            key = "GAN" if name == "full_step" else "D_Fake"
+            jfn = (lambda token, _c=compiled, _k=key:
+                   jnp.float32(_c(state, tok(batch, token))[1][_k]))
+        else:
+            # f32 in/out so chained calls match the compiled signature
+            # (bf16 phase outputs would silently retrace a plain jit)
+            f32_fn = lambda t, _f=fn: jnp.float32(_f(t))
+            compiled = jax.jit(f32_fn).lower(jnp.float32(0.0)).compile()
+            jfn = lambda token, _c=compiled: _c(token)
         compile_s = time.perf_counter() - t_c0
         chain(jfn, 2)  # warmup
         times = []
@@ -223,12 +237,7 @@ def main():
 
         flops = bytes_acc = None
         try:
-            if name in ("full_step", "d_update_only"):
-                lowered = (step_g if name == "full_step" else step_d).lower(
-                    state, batch)
-            else:
-                lowered = jax.jit(fn).lower(jnp.float32(0.0))
-            ca = lowered.compile().cost_analysis()
+            ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0))

@@ -97,6 +97,24 @@ def test_checkpoint_manager_config_guarded(tmp_path, monkeypatch):
     assert os.path.isdir(os.path.join(run_dir, "orbax"))
 
 
+def test_checkpoint_manager_init_preserves_config(tmp_path):
+    """Restore-only consumers (demo, evaluate, int8_accuracy) construct a
+    CheckpointManager from a CLI-reconstructed config; __init__ must not
+    overwrite the trained run's recorded config.json — only save() writes
+    the snapshot."""
+    from deepsee_tpu.utils.checkpoint import CheckpointManager
+
+    exp = tiny_test_experiment().replace(checkpoints_dir=str(tmp_path))
+    run_dir = os.path.join(str(tmp_path), exp.name)
+    os.makedirs(run_dir)
+    truth = '{"ground": "truth"}'
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(truth)
+    CheckpointManager(exp)
+    with open(os.path.join(run_dir, "config.json")) as f:
+        assert f.read() == truth
+
+
 def test_copy_src_guard(monkeypatch, tmp_path):
     """Trainer's copy_src call is inside an is_main_process() guard."""
     import deepsee_tpu.utils.files as files_mod
@@ -105,6 +123,54 @@ def test_copy_src_guard(monkeypatch, tmp_path):
     assert not files_mod.is_main_process()
     _patch_process_index(monkeypatch, 0)
     assert files_mod.is_main_process()
+
+
+def test_evaluator_aggregates_across_hosts(monkeypatch):
+    """Sharded eval loaders give each host a 1/N stripe; run() must gather
+    every host's per-sample metrics before aggregating, so the recorded
+    mean/std (and FID activations) cover the full num_samples.  Simulates
+    host 1 by faking the all-gather."""
+    import deepsee_tpu.eval.evaluator as ev_mod
+    from deepsee_tpu.data import DataLoader, SyntheticDataset
+    from deepsee_tpu.eval.evaluator import InferenceEvaluator
+    from deepsee_tpu.system import SRSystem
+
+    exp = tiny_test_experiment().replace(is_train=False)
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(0))
+    ds = SyntheticDataset(exp, length=8)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True,
+                        num_workers=1, prefetch=0)
+
+    ev = InferenceEvaluator(system, num_samples=8, compute_fid=False,
+                            compute_lpips=False)
+    single = ev.run(variables, loader)
+    assert single["n_samples"] == 8
+
+    # now pretend to be host 0 of 2: local sweep stops at ceil(8/2)=4
+    # samples, and the gather contributes host 1's stripe (known values)
+    monkeypatch.setattr(jax, "process_count", lambda backend=None: 2)
+    calls = {}
+
+    def fake_gather(tree):
+        calls["tree"] = tree
+        # host 1: same shapes, all-constant metric rows, last row invalid
+        other = {k: np.full_like(v, 7.0) for k, v in tree.items()}
+        other["_valid"] = np.array([1.0, 1.0, 1.0, 0.0], np.float32)
+        return {k: np.concatenate([tree[k], other[k]], 0) for k in tree}
+
+    monkeypatch.setattr(ev_mod, "_gather_across_hosts", fake_gather)
+    merged = ev.run(variables, iter(DataLoader(
+        ds, batch_size=2, shuffle=False, drop_last=True, num_workers=1,
+        prefetch=0)))
+
+    assert calls["tree"]["psnr"].shape == (4,)  # padded to local_target
+    assert (calls["tree"]["_valid"] == 1.0).all()  # 4 real local samples
+    # 4 local + 3 valid fake-host rows
+    assert merged["n_samples"] == 7
+    local_psnr = calls["tree"]["psnr"]
+    expect = np.concatenate([local_psnr, [7.0, 7.0, 7.0]]).mean()
+    np.testing.assert_allclose(merged["psnr/mean"], expect, rtol=1e-6)
 
 
 def test_display_uses_jit_and_matches_eager(tmp_path):
