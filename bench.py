@@ -62,7 +62,11 @@ def main() -> None:
                     help="also time the style encode alone (guided models: "
                          "the full 256px HR encoder; independent: the mini "
                          "LR encoder)")
+    from deepsee_tpu.utils.compile_cache import (add_cache_args,
+                                                 apply_cache_args)
+    add_cache_args(ap)
     args = ap.parse_args()
+    apply_cache_args(args)
     quant_ctx = contextlib.nullcontext()
     if args.int8:
         from deepsee_tpu.models.layers import int8_inference

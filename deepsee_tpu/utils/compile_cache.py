@@ -1,0 +1,70 @@
+"""Persistent XLA compilation cache for the CLI entry points.
+
+The reference has no compile step at all (eager torch); here every jitted
+program pays an XLA compile on first use, and on a tunneled TPU that
+compile is the dominant cold-start cost (measured: inference programs
+1-3 min, the fused 512px train step ~1-3.5 min with remat, ~25 min
+without).  JAX's persistent cache serializes the compiled executable
+keyed by HLO hash, so REPEAT runs of the same config skip the compile
+entirely — measured on the axon v5e: 2.84 s -> 0.14 s for a probe conv
+program across separate processes.
+
+Enabled by default in every CLI (train/evaluate/demo/bench); relocate
+with --compilation_cache DIR or disable with --no_compilation_cache.
+Concurrent processes are safe (entries are written via atomic rename).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
+                           "deepsee_tpu", "xla")
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> str:
+    """Point jax at a persistent executable cache; returns the dir used.
+
+    Call before the first jit compile (any time after `import jax` is
+    fine — the flags are read per-compile, not at backend init).
+    """
+    import jax
+
+    path = path or DEFAULT_DIR
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took a measurable compile; the default
+    # thresholds (2 s / 64 KiB) would skip small-but-tunnel-bound programs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return path
+
+
+def add_cache_args(parser) -> None:
+    """Uniform --compilation_cache / --no_compilation_cache CLI flags."""
+    parser.add_argument(
+        "--compilation_cache", default=None, metavar="DIR",
+        help=f"persistent XLA executable cache (default {DEFAULT_DIR}); "
+             "repeat runs of the same config skip the multi-minute "
+             "tunnel compile")
+    parser.add_argument(
+        "--no_compilation_cache", action="store_true",
+        help="disable the persistent compilation cache")
+
+
+def apply_cache_args(args) -> Optional[str]:
+    if getattr(args, "no_compilation_cache", False):
+        return None
+    explicit = getattr(args, "compilation_cache", None)
+    if explicit is None:
+        import jax
+
+        # default-on is for accelerator backends, where a compile costs
+        # minutes through the tunnel.  XLA:CPU's AOT loader logs a
+        # machine-feature-mismatch warning per cache hit (normalized
+        # feature strings) and the win there is small — opt in with an
+        # explicit --compilation_cache DIR.
+        if jax.default_backend() == "cpu":
+            return None
+    return enable_compilation_cache(explicit)

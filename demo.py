@@ -162,7 +162,11 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="W8A8 quantized inference (s8 MXU serving path)")
     p.add_argument("--out", default="./results")
+    from deepsee_tpu.utils.compile_cache import (add_cache_args,
+                                                 apply_cache_args)
+    add_cache_args(p)
     args = p.parse_args()
+    apply_cache_args(args)
 
     from deepsee_tpu.config import get_preset
 

@@ -42,7 +42,11 @@ def main():
                         "serving path's metrics (quality-delta measurement)")
     p.add_argument("--out", default="")
     p.add_argument("--save_images", action="store_true")
+    from deepsee_tpu.utils.compile_cache import (add_cache_args,
+                                                 apply_cache_args)
+    add_cache_args(p)
     args = p.parse_args()
+    apply_cache_args(args)
 
     import jax
 

@@ -52,7 +52,11 @@ def main():
     p.add_argument("--inception_weights", default="")
     p.add_argument("--alexnet_weights", default="")
     p.add_argument("--out", default="")
+    from deepsee_tpu.utils.compile_cache import (add_cache_args,
+                                                 apply_cache_args)
+    add_cache_args(p)
     args = p.parse_args()
+    apply_cache_args(args)
 
     from deepsee_tpu.eval import fid as fid_mod
     from deepsee_tpu.eval import lpips as lpips_mod

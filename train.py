@@ -68,6 +68,8 @@ def parse_args():
                    help="train D on the G-step fake instead of regenerating"
                         " with the updated G (opt-in deviation from the"
                         " reference schedule; ~1.27x step throughput)")
+    from deepsee_tpu.utils.compile_cache import add_cache_args
+    add_cache_args(p)
     return p.parse_args()
 
 
@@ -75,6 +77,8 @@ def main():
     args = parse_args()
     from deepsee_tpu.config import MeshConfig, get_preset
     from deepsee_tpu.train.loop import Trainer
+    from deepsee_tpu.utils.compile_cache import apply_cache_args
+    apply_cache_args(args)
 
     exp = get_preset(args.name)
     data = dataclasses.replace(
