@@ -1,0 +1,373 @@
+"""HTTP serving daemon over exported inference artifacts.
+
+The reference's deployment story is re-running eager torch from `.pth`
+files inside a notebook or one-shot script (demo.py:92-131); there is no
+long-lived serving process anywhere in it.  This daemon is the production
+counterpart for the TPU build: it loads a `jax.export` artifact directory
+(serve.py — weights baked in, zero framework code on the serving path),
+owns the device from ONE worker thread (TPU programs must be serialized;
+concurrent dispatch from request threads would interleave), and coalesces
+concurrent requests into the artifact's fixed trace batch via
+micro-batching with padding.
+
+  python -m deepsee_tpu.server --artifact exported_dir/ --port 8000
+
+API (JSON over HTTP, stdlib-only on both ends):
+
+  GET  /healthz   -> {"status": "ok", "model": ..., "stats": {...}}
+  GET  /manifest  -> the artifact's manifest.json
+  POST /v1/super_resolve
+       body: {"image_lr": <b64 PNG, start_size RGB>,
+              "label":    <b64 PNG, crop_size, values 0..18 or 255>,
+              "guiding_image"/"guiding_label": same encodings (guided
+                  models only; required there),
+              "style": [[...]] (label_nc x regional_style_size) — when
+                  present the `styled` program renders with this style
+                  matrix instead of encoding one (the manipulation path)}
+       resp: {"image": <b64 PNG, crop_size RGB>,
+              "style": [[...]]}   (style omitted on the styled path)
+
+Images follow the repo conventions (demo.py:45-61): RGB u8 -> /255*2-1;
+labels NEAREST-resized, 255 -> label_nc.
+
+Batching: requests are queued with a Future; the device thread takes the
+oldest request, waits up to --batch_window_ms for more requests OF THE
+SAME PROGRAM, pads the tail by repeating the last item up to the trace
+batch, runs one device call, and distributes the slices.  Per-sample
+independence holds because serving programs run eval-mode norms (running
+stats) and no_noise=True, so padding rows cannot leak into real ones —
+locked by tests/test_server.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import collections
+import io
+import json
+import os
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# -- request payload <-> arrays (demo.py:45-61 conventions) ---------------
+
+def decode_image_b64(b64: str, size: int) -> np.ndarray:
+    """b64 PNG/JPEG -> (1, size, size, 3) float32 in [-1, 1]."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    if img.size != (size, size):
+        img = img.resize((size, size), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
+    return arr[None]
+
+
+def decode_label_b64(b64: str, size: int, label_nc: int) -> np.ndarray:
+    """b64 PNG -> (1, size, size) int32; 255 (unknown) -> label_nc."""
+    from PIL import Image
+
+    lab = Image.open(io.BytesIO(base64.b64decode(b64)))
+    if lab.size != (size, size):
+        lab = lab.resize((size, size), Image.NEAREST)
+    arr = np.asarray(lab).astype(np.int32)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    arr = np.where(arr == 255, label_nc, arr)
+    return arr[None]
+
+
+def encode_image_b64(img: np.ndarray) -> str:
+    """(H, W, 3) float in [-1, 1] -> b64 PNG (tensor2im convention)."""
+    from PIL import Image
+
+    from deepsee_tpu.utils.images import tensor2im
+
+    buf = io.BytesIO()
+    Image.fromarray(tensor2im(img)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+# -- micro-batcher --------------------------------------------------------
+
+class _Request:
+    __slots__ = ("program", "args", "future", "t_enqueue")
+
+    def __init__(self, program: str, args: Tuple[np.ndarray, ...]):
+        self.program = program
+        self.args = args
+        self.future: Future = Future()
+        self.t_enqueue = time.monotonic()
+
+
+class MicroBatcher:
+    """Single device-owner thread coalescing requests into fixed batches.
+
+    programs: {name: (callable, trace_batch_size)}.  Each request carries
+    per-sample args (leading dim 1); consecutive requests for the same
+    program are stacked up to the trace batch, the tail padded by
+    repetition, and sliced back after one device call.
+    """
+
+    def __init__(self, programs: Dict[str, Tuple[Callable, int]],
+                 batch_window_ms: float = 5.0):
+        self.programs = programs
+        self.window = batch_window_ms / 1000.0
+        self._pending: collections.deque = collections.deque()
+        self._cv = threading.Condition()
+        self._stop = False
+        self.stats = {"requests": 0, "batches": 0, "batched_samples": 0,
+                      "errors": 0}
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="deepsee-device-worker")
+        self._thread.start()
+
+    def submit(self, program: str, args: Tuple[np.ndarray, ...]) -> Future:
+        if program not in self.programs:
+            raise KeyError(f"unknown program {program!r}")
+        req = _Request(program, args)
+        with self._cv:
+            self._pending.append(req)
+            self.stats["requests"] += 1
+            self._cv.notify()
+        return req.future
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=10)
+
+    # -- worker ----------------------------------------------------------
+
+    def _take_batch(self) -> List[_Request]:
+        """Block for the first request, then gather same-program requests
+        until the trace batch fills or the window elapses."""
+        with self._cv:
+            while not self._pending and not self._stop:
+                self._cv.wait()
+            if self._stop and not self._pending:
+                return []
+            first = self._pending.popleft()
+            cap = self.programs[first.program][1]
+            batch = [first]
+            deadline = time.monotonic() + self.window
+            while len(batch) < cap:
+                timeout = deadline - time.monotonic()
+                # scan for same-program requests already queued
+                took = False
+                for i, r in enumerate(self._pending):
+                    if r.program == first.program:
+                        del self._pending[i]
+                        batch.append(r)
+                        took = True
+                        break
+                if took:
+                    continue
+                if timeout <= 0 or self._stop:
+                    break
+                self._cv.wait(timeout)
+            return batch
+
+    def _run(self):
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return
+            fn, cap = self.programs[batch[0].program]
+            n = len(batch)
+            try:
+                args = [
+                    np.concatenate(
+                        [r.args[j] for r in batch]
+                        + [batch[-1].args[j]] * (cap - n), axis=0)
+                    for j in range(len(batch[0].args))]
+                out = fn(*args)
+                outs = out if isinstance(out, (tuple, list)) else (out,)
+                outs = [np.asarray(o) for o in outs]
+                for i, r in enumerate(batch):
+                    r.future.set_result(tuple(o[i] for o in outs))
+                self.stats["batches"] += 1
+                self.stats["batched_samples"] += n
+            except Exception as e:  # noqa: BLE001 — fail the whole batch
+                self.stats["errors"] += n
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+
+# -- the HTTP server ------------------------------------------------------
+
+class BadRequest(ValueError):
+    pass
+
+
+class ServingServer:
+    """Loads an artifact dir and serves it; start()/stop() for embedding."""
+
+    def __init__(self, artifact_dir: str, port: int = 8000,
+                 host: str = "127.0.0.1", batch_window_ms: float = 5.0,
+                 request_timeout_s: float = 120.0):
+        from deepsee_tpu.serve import load_serving
+
+        with open(os.path.join(artifact_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        bs = int(self.manifest["batch_size"])
+        programs = {
+            "end_to_end": (load_serving(artifact_dir, "end_to_end"), bs),
+            "styled": (load_serving(artifact_dir, "styled"), bs),
+        }
+        self.batcher = MicroBatcher(programs, batch_window_ms)
+        self.request_timeout_s = request_timeout_s
+        self._httpd = ThreadingHTTPServer((host, port), self._handler_cls())
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+        self.t_start = time.time()
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True,
+            name="deepsee-http")
+        self._thread.start()
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+        self.batcher.close()
+
+    # -- request handling -------------------------------------------------
+
+    def _parse_request(self, body: dict
+                       ) -> Tuple[str, Tuple[np.ndarray, ...]]:
+        m = self.manifest
+        crop, start, nc = m["crop_size"], m["start_size"], m["label_nc"]
+        try:
+            image_lr = decode_image_b64(body["image_lr"], start)
+            label = decode_label_b64(body["label"], crop, nc)
+        except KeyError as e:
+            raise BadRequest(f"missing required field {e}") from e
+        except Exception as e:
+            raise BadRequest(f"undecodable input: {e}") from e
+
+        if "style" in body:
+            style = np.asarray(body["style"], np.float32)
+            want = (nc, m["regional_style_size"])
+            if style.shape != want:
+                raise BadRequest(
+                    f"style shape {style.shape} != {want}")
+            return "styled", (image_lr, label, style[None])
+
+        if m["guiding_style_image"]:
+            try:
+                g_img = decode_image_b64(body["guiding_image"], crop)
+                g_lab = decode_label_b64(body["guiding_label"], crop, nc)
+            except KeyError as e:
+                raise BadRequest(
+                    f"guided model: missing field {e}") from e
+            except Exception as e:
+                raise BadRequest(f"undecodable guiding input: {e}") from e
+            return "end_to_end", (image_lr, label, g_img, g_lab)
+        return "end_to_end", (image_lr, label)
+
+    def handle_super_resolve(self, body: dict) -> dict:
+        program, args = self._parse_request(body)
+        fut = self.batcher.submit(program, args)
+        out = fut.result(timeout=self.request_timeout_s)
+        resp = {"image": encode_image_b64(out[0])}
+        if program == "end_to_end":
+            resp["style"] = np.asarray(out[1], np.float32).tolist()
+        return resp
+
+    def health(self) -> dict:
+        s = dict(self.batcher.stats)
+        s["batch_fill"] = (
+            round(s["batched_samples"] / (s["batches"] or 1)
+                  / self.manifest["batch_size"], 3))
+        return {"status": "ok", "model": self.manifest["name"],
+                "uptime_s": round(time.time() - self.t_start, 1),
+                "trace_batch": self.manifest["batch_size"], "stats": s}
+
+    def _handler_cls(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _send(self, code: int, payload: dict):
+                blob = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, server.health())
+                elif self.path == "/manifest":
+                    self._send(200, server.manifest)
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/super_resolve":
+                    self._send(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n))
+                    self._send(200, server.handle_super_resolve(body))
+                except BadRequest as e:
+                    self._send(400, {"error": str(e)})
+                except json.JSONDecodeError as e:
+                    self._send(400, {"error": f"bad JSON: {e}"})
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    p = argparse.ArgumentParser(
+        description="Serve an exported DeepSEE artifact over HTTP")
+    p.add_argument("--artifact", required=True,
+                   help="directory from scripts/export_serving.py")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--batch_window_ms", type=float, default=5.0,
+                   help="how long to wait coalescing concurrent requests "
+                        "into the artifact's trace batch")
+    args = p.parse_args(argv)
+
+    srv = ServingServer(args.artifact, port=args.port, host=args.host,
+                        batch_window_ms=args.batch_window_ms)
+    m = srv.manifest
+    print(f"serving {m['name']} (batch {m['batch_size']}, "
+          f"{'guided' if m['guiding_style_image'] else 'independent'}) "
+          f"on http://{args.host}:{srv.port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()

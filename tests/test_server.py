@@ -1,0 +1,249 @@
+"""HTTP serving daemon (deepsee_tpu/server.py).
+
+End-to-end over a real exported artifact on CPU: concurrent requests are
+micro-batched into the artifact's fixed trace batch, padded, and sliced
+back — each response must equal a direct single-request computation of
+the SAME program (this also locks the per-sample-independence assumption
+padding relies on: eval-mode norms + no_noise).
+"""
+
+import base64
+import concurrent.futures
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from deepsee_tpu.config import tiny_test_experiment
+from deepsee_tpu.serve import export_serving, load_serving, save_serving
+from deepsee_tpu.server import (MicroBatcher, ServingServer,
+                                decode_image_b64, decode_label_b64,
+                                encode_image_b64)
+from deepsee_tpu.system import SRSystem
+
+
+def _png_b64(arr_u8: np.ndarray) -> str:
+    buf = io.BytesIO()
+    Image.fromarray(arr_u8).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _request_payload(cfg, seed: int, guided: bool = False) -> dict:
+    rng = np.random.RandomState(seed)
+    body = {
+        "image_lr": _png_b64(rng.randint(
+            0, 256, (cfg.start_size, cfg.start_size, 3), dtype=np.uint8)),
+        "label": _png_b64(rng.randint(
+            0, cfg.label_nc, (cfg.crop_size, cfg.crop_size),
+            dtype=np.uint8)),
+    }
+    if guided:
+        body["guiding_image"] = _png_b64(rng.randint(
+            0, 256, (cfg.crop_size, cfg.crop_size, 3), dtype=np.uint8))
+        body["guiding_label"] = _png_b64(rng.randint(
+            0, cfg.label_nc, (cfg.crop_size, cfg.crop_size),
+            dtype=np.uint8))
+    return body
+
+
+def _post(port: int, path: str, body: dict, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(port: int, path: str, timeout=30):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    exp = tiny_test_experiment(is_train=False)
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(0))
+    d = tmp_path_factory.mktemp("artifact")
+    blobs = export_serving(exp, variables, batch_size=2, platforms=("cpu",))
+    save_serving(str(d), exp, blobs, batch_size=2, platforms=("cpu",))
+    return str(d), exp
+
+
+@pytest.fixture(scope="module")
+def server(artifact):
+    d, _ = artifact
+    srv = ServingServer(d, port=0, batch_window_ms=30.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _expected_end_to_end(artifact_dir, exp, body):
+    """Direct single-request computation through the raw program."""
+    cfg = exp.model
+    fn = load_serving(artifact_dir, "end_to_end")
+    lr = decode_image_b64(body["image_lr"], cfg.start_size)
+    lab = decode_label_b64(body["label"], cfg.crop_size, cfg.label_nc)
+    # pad to the trace batch by repetition, slice row 0
+    fake, style = fn(np.concatenate([lr, lr]), np.concatenate([lab, lab]))
+    return np.asarray(fake)[0], np.asarray(style)[0]
+
+
+def test_concurrent_requests_batched(server, artifact):
+    d, exp = artifact
+    cfg = exp.model
+    bodies = [_request_payload(cfg, seed) for seed in range(3)]
+
+    with concurrent.futures.ThreadPoolExecutor(3) as pool:
+        results = list(pool.map(
+            lambda b: _post(server.port, "/v1/super_resolve", b), bodies))
+
+    for body, (status, resp) in zip(bodies, results):
+        assert status == 200, resp
+        img = decode_image_b64(resp["image"], cfg.crop_size)[0]
+        want_fake, want_style = _expected_end_to_end(d, exp, body)
+        # response image is PNG u8-quantized via tensor2im; compare there
+        from deepsee_tpu.utils.images import tensor2im
+        np.testing.assert_array_equal(tensor2im(img), tensor2im(want_fake))
+        np.testing.assert_allclose(np.asarray(resp["style"], np.float32),
+                                   want_style, rtol=1e-5, atol=1e-6)
+
+    status, health = _get(server.port, "/healthz")
+    assert status == 200 and health["status"] == "ok"
+    assert health["stats"]["requests"] >= 3
+    # 3 requests into trace batch 2 -> at least one coalesced batch
+    assert health["stats"]["batches"] < health["stats"]["requests"]
+
+
+def test_styled_path(server, artifact):
+    d, exp = artifact
+    cfg = exp.model
+    body = _request_payload(cfg, seed=7)
+    rng = np.random.RandomState(7)
+    style = rng.randn(cfg.label_nc, cfg.regional_style_size).astype(
+        np.float32) * 0.1
+    body["style"] = style.tolist()
+
+    status, resp = _post(server.port, "/v1/super_resolve", body)
+    assert status == 200, resp
+    assert "style" not in resp  # styled path renders, doesn't encode
+
+    fn = load_serving(d, "styled")
+    lr = decode_image_b64(body["image_lr"], cfg.start_size)
+    lab = decode_label_b64(body["label"], cfg.crop_size, cfg.label_nc)
+    sty = style[None]
+    fake = np.asarray(fn(np.concatenate([lr, lr]),
+                         np.concatenate([lab, lab]),
+                         np.concatenate([sty, sty])))[0]
+    from deepsee_tpu.utils.images import tensor2im
+    got = decode_image_b64(resp["image"], cfg.crop_size)[0]
+    np.testing.assert_array_equal(tensor2im(got), tensor2im(fake))
+
+
+def test_bad_requests(server, artifact):
+    _, exp = artifact
+    cfg = exp.model
+    status, resp = _post(server.port, "/v1/super_resolve", {})
+    assert status == 400 and "image_lr" in resp["error"]
+
+    body = _request_payload(cfg, seed=1)
+    body["style"] = [[0.0]]  # wrong shape
+    status, resp = _post(server.port, "/v1/super_resolve", body)
+    assert status == 400 and "style shape" in resp["error"]
+
+    body = _request_payload(cfg, seed=1)
+    body["image_lr"] = "not base64 png!!"
+    status, resp = _post(server.port, "/v1/super_resolve", body)
+    assert status == 400
+
+    status, resp = _get(server.port, "/manifest")
+    assert status == 200 and resp["batch_size"] == 2
+
+
+def test_microbatcher_pads_and_slices():
+    """Unit-level: a fn with visible batch structure proves pad+slice."""
+    calls = []
+
+    def fn(x):
+        calls.append(np.asarray(x).shape)
+        return np.asarray(x) * 2.0
+
+    mb = MicroBatcher({"p": (fn, 4)}, batch_window_ms=50.0)
+    try:
+        futs = [mb.submit("p", (np.full((1, 3), i, np.float32),))
+                for i in range(3)]
+        outs = [f.result(timeout=10) for f in futs]
+        for i, out in enumerate(outs):
+            np.testing.assert_allclose(out[0], np.full((3,), 2.0 * i))
+        assert all(s == (4, 3) for s in calls)  # padded to the trace batch
+    finally:
+        mb.close()
+
+
+def test_microbatcher_error_propagates():
+    def fn(x):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher({"p": (fn, 2)}, batch_window_ms=1.0)
+    try:
+        fut = mb.submit("p", (np.zeros((1, 2), np.float32),))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=10)
+        assert mb.stats["errors"] == 1
+    finally:
+        mb.close()
+
+
+def test_image_codec_roundtrip():
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    b64 = _png_b64(u8)
+    dec = decode_image_b64(b64, 16)[0]
+    # decode -> tensor2im re-encode is lossy by at most 1 u8 step
+    # (tensor2im truncates, matching util/util.py:72-103)
+    from deepsee_tpu.utils.images import tensor2im
+    assert np.abs(tensor2im(dec).astype(int) - u8.astype(int)).max() <= 1
+    assert encode_image_b64(dec) is not None
+    # label 255 maps to label_nc
+    lab = np.full((16, 16), 255, np.uint8)
+    dec_lab = decode_label_b64(_png_b64(lab), 16, 19)[0]
+    assert (dec_lab == 19).all()
+
+
+def test_guided_parse_requires_guiding_fields(artifact):
+    """Guided manifests demand guiding_image/guiding_label; the styled
+    path must keep working without them (no second artifact export
+    needed — only the parser is guided-aware)."""
+    d, exp = artifact
+    srv = ServingServer.__new__(ServingServer)  # parser-only instance
+    srv.manifest = dict(json.load(open(d + "/manifest.json")),
+                        guiding_style_image=True)
+    cfg = exp.model
+
+    body = _request_payload(cfg, seed=3)
+    import pytest as _pytest
+    from deepsee_tpu.server import BadRequest
+    with _pytest.raises(BadRequest, match="guiding"):
+        srv._parse_request(body)
+
+    body = _request_payload(cfg, seed=3, guided=True)
+    program, args = srv._parse_request(body)
+    assert program == "end_to_end" and len(args) == 4
+    assert args[2].shape == (1, cfg.crop_size, cfg.crop_size, 3)
+
+    # style present routes to styled regardless of guidance
+    body["style"] = np.zeros(
+        (cfg.label_nc, cfg.regional_style_size), np.float32).tolist()
+    program, args = srv._parse_request(body)
+    assert program == "styled" and len(args) == 3
