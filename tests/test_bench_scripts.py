@@ -44,3 +44,17 @@ def test_bench_loader_smoke(tmp_path):
                  "--workers", "1"])
     assert res3.returncode != 0
     assert "warmup" in (res3.stderr + res3.stdout)
+
+
+def test_bench_server_smoke():
+    res = _run(["scripts/bench_server.py", "--name", "tiny_test",
+                "--trace_batch", "2", "--clients", "4",
+                "--n_requests", "8", "--batch_window_ms", "20",
+                "--platform", "cpu"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["metric"] == "served_img_per_s_http"
+    assert out["value"] > 0
+    assert 0 < out["batch_fill"] <= 1
+    assert out["latency_ms"]["p50"] > 0
