@@ -34,6 +34,11 @@ def enable_compilation_cache(path: Optional[str] = None) -> str:
     path = path or DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
+    # the cache object initializes lazily ONCE per process; if some
+    # earlier compile already initialized it (different dir), reset so
+    # the new dir takes effect
+    from jax.experimental.compilation_cache import compilation_cache
+    compilation_cache.reset_cache()
     # cache everything that took a measurable compile; the default
     # thresholds (2 s / 64 KiB) would skip small-but-tunnel-bound programs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
