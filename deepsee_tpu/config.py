@@ -303,10 +303,15 @@ class MeshConfig:
     # kernels; "spatial" H-shards activations (conv halo exchange via
     # GSPMD) — preferred when feature maps dominate memory (512px configs)
     partition: str = "tensor"
+    # extra data-parallel axis ACROSS slices (multi-slice pods): only the
+    # batch dim and the gradient all-reduce cross the slow DCN network;
+    # model/spatial sharding stays within a slice on ICI.  Size 1 (single
+    # slice) keeps the mesh semantics identical.
+    dcn_axis: int = 1
 
     @property
     def n_devices(self) -> int:
-        return self.data_axis * self.model_axis
+        return self.dcn_axis * self.data_axis * self.model_axis
 
     @property
     def spatial(self) -> bool:

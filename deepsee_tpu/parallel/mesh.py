@@ -28,21 +28,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepsee_tpu.config import MeshConfig
 
+DCN_AXIS = "dcn"
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
 def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
+    """Build the ("dcn", "data", "model") mesh.
+
+    The leading "dcn" axis (size 1 on a single slice) carries the
+    multi-slice half of data parallelism: with dcn_axis > 1 on a real
+    multi-slice pod the device order groups whole slices along it, so
+    only the batch dim and the gradient all-reduce cross the slow
+    inter-slice network while tensor/spatial sharding rides ICI.  Specs
+    that don't mention an axis replicate over it, so every param/state
+    spec below is dcn-compatible unchanged."""
     devices = list(devices if devices is not None else jax.devices())
     n = cfg.n_devices
     if len(devices) < n:
         raise ValueError(f"Mesh wants {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(cfg.data_axis, cfg.model_axis)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    shape = (cfg.dcn_axis, cfg.data_axis, cfg.model_axis)
+    if cfg.dcn_axis > 1 and len({getattr(d, "slice_index", 0)
+                                 for d in devices[:n]}) > 1:
+        # real multi-slice topology: let jax pick a DCN-aware layout
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, cfg.data_axis, cfg.model_axis), (cfg.dcn_axis, 1, 1),
+            devices=devices[:n])
+    else:
+        arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
 def batch_spec(spatial: bool = False) -> P:
-    """Batch over "data"; with `spatial`, additionally shard H over "model".
+    """Batch over ("dcn", "data"); with `spatial`, also shard H over "model".
 
     Spatial sharding is the conv-net analogue of context parallelism
     (SURVEY.md §5.7): activations stay H-sharded through the conv stack and
@@ -50,7 +70,8 @@ def batch_spec(spatial: bool = False) -> P:
     automatically; norm statistics over (H, W) become global reductions
     under jit.  Preferred over channel sharding for the >=512px configs
     where feature maps, not weights, dominate memory."""
-    return P(DATA_AXIS, MODEL_AXIS) if spatial else P(DATA_AXIS)
+    batch = (DCN_AXIS, DATA_AXIS)
+    return P(batch, MODEL_AXIS) if spatial else P(batch)
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,

@@ -64,7 +64,8 @@ def main():
 
     from deepsee_tpu.config import get_preset
     from deepsee_tpu.parallel import train_state_shardings
-    from deepsee_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_spec
+    from deepsee_tpu.parallel.mesh import (DATA_AXIS, DCN_AXIS, MODEL_AXIS,
+                                           batch_spec)
     from deepsee_tpu.system import SRSystem
     from deepsee_tpu.train.state import create_train_state
     from deepsee_tpu.train.steps import make_train_step
@@ -103,8 +104,8 @@ def main():
         dp, mp, spatial = parse_mesh(spec)
         if dp * mp != n_dev:
             raise ValueError(f"{spec}: {dp}x{mp} != {n_dev} devices")
-        mesh = Mesh(np.asarray(topo.devices).reshape(dp, mp),
-                    (DATA_AXIS, MODEL_AXIS))
+        mesh = Mesh(np.asarray(topo.devices).reshape(1, dp, mp),
+                    (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
 
         st_sh = train_state_shardings(state_shapes, mesh,
                                       shard_model=not spatial)

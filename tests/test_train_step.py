@@ -94,6 +94,48 @@ def test_train_step_multichip_matches_single():
     np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)
 
 
+def test_train_step_multislice_matches_single():
+    """Multi-slice layout (leading "dcn" axis = data parallelism across
+    slices): dcn2 x dp2 x tp2 must reproduce the single-device step — the
+    dcn axis only re-routes where the batch halves and the gradient
+    all-reduce travel, never the math."""
+    exp = tiny_test_experiment()
+    exp = exp.replace(model=exp.model.__class__(
+        **{**exp.model.__dict__, "ngf": 8}),
+        mesh=MeshConfig(2, 2, dcn_axis=2), train=exp.train.__class__(
+            **{**exp.train.__dict__, "batch_size": 4}))
+    system = SRSystem(exp)
+    batch = _batch(exp.model, exp.train.batch_size)
+
+    def run(mesh_cfg, shard):
+        mesh = make_mesh(mesh_cfg)
+        state = create_train_state(system, jax.random.PRNGKey(0))
+        if shard:
+            state = shard_train_state(state, mesh, min_shard_ch=8)
+            # params must REPLICATE over dcn (only batch + grads cross it)
+            k = state.g_vars["params"]["initial"]["kernel"]
+            assert "dcn" not in jax.tree_util.tree_leaves(
+                [ax for ax in k.sharding.spec if ax]), (
+                "params must not shard over the dcn axis")
+        b = shard_batch(batch, mesh)
+        # the batch dim is split over BOTH dcn and data
+        n_batch_shards = mesh_cfg.dcn_axis * mesh_cfg.data_axis
+        assert (b["image_hr"].sharding.shard_shape(b["image_hr"].shape)[0]
+                == exp.train.batch_size // n_batch_shards)
+        step = make_train_step(system, donate=False)
+        state, logs = step(state, b)
+        return jax.device_get(logs), jax.device_get(
+            state.g_vars["params"]["initial"]["kernel"])
+
+    logs1, k1 = run(MeshConfig(1, 1), shard=False)
+    logs8, k8 = run(MeshConfig(2, 2, dcn_axis=2), shard=True)
+
+    for name in logs1:
+        np.testing.assert_allclose(logs8[name], logs1[name], rtol=5e-4,
+                                   atol=1e-5, err_msg=name)
+    np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)
+
+
 def test_training_dynamics_overfit_one_batch():
     """Gradient/TTUR wiring sanity: overfitting one batch must drive the
     perceptual loss down while the hinge D losses stay near equilibrium."""

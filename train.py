@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--niter_decay", type=int, default=None)
     p.add_argument("--data_axis", type=int, default=1)
     p.add_argument("--model_axis", type=int, default=1)
+    p.add_argument("--dcn_axis", type=int, default=1,
+                   help="data parallelism ACROSS slices (multi-slice pods);"
+                        " batch + grad all-reduce cross DCN, model/spatial"
+                        " sharding stays on ICI")
     p.add_argument("--partition", default="tensor",
                    choices=("tensor", "spatial"),
                    help="how the model axis is used (channel vs H sharding)")
@@ -113,7 +117,8 @@ def main():
     exp = exp.replace(
         data=data, train=train, model=model,
         checkpoints_dir=args.checkpoints_dir,
-        mesh=MeshConfig(args.data_axis, args.model_axis, args.partition))
+        mesh=MeshConfig(args.data_axis, args.model_axis, args.partition,
+                        dcn_axis=args.dcn_axis))
 
     trainer = Trainer(exp, continue_train=args.continue_train)
     trainer.run(max_steps=args.max_steps)
