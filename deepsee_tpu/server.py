@@ -133,6 +133,8 @@ class MicroBatcher:
             raise KeyError(f"unknown program {program!r}")
         req = _Request(program, args)
         with self._cv:
+            if self._stop:
+                raise RuntimeError("server shutting down")
             self._pending.append(req)
             self.stats["requests"] += 1
             self._cv.notify()
@@ -143,6 +145,14 @@ class MicroBatcher:
             self._stop = True
             self._cv.notify()
         self._thread.join(timeout=10)
+        # requests that raced shutdown would otherwise hang on their
+        # Future until the handler's timeout; fail them promptly
+        with self._cv:
+            while self._pending:
+                req = self._pending.popleft()
+                if not req.future.done():
+                    req.future.set_exception(
+                        RuntimeError("server shut down"))
 
     # -- worker ----------------------------------------------------------
 
@@ -213,7 +223,10 @@ class ServingServer:
 
     def __init__(self, artifact_dir: str, port: int = 8000,
                  host: str = "127.0.0.1", batch_window_ms: float = 5.0,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 600.0):
+        # default timeout covers the first-call backend compile: on a
+        # tunneled TPU that is 1-3 min (CLAUDE.md), during which every
+        # queued request waits behind the compiling one
         from deepsee_tpu.serve import load_serving
 
         with open(os.path.join(artifact_dir, "manifest.json")) as f:
@@ -228,6 +241,7 @@ class ServingServer:
         self._httpd = ThreadingHTTPServer((host, port), self._handler_cls())
         self._httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None
+        self._serving = False
         self.t_start = time.time()
 
     @property
@@ -235,16 +249,21 @@ class ServingServer:
         return self._httpd.server_address[1]
 
     def start(self):
+        self._serving = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True,
             name="deepsee-http")
         self._thread.start()
 
     def serve_forever(self):
+        self._serving = True
         self._httpd.serve_forever()
 
     def stop(self):
-        self._httpd.shutdown()
+        if self._serving:
+            # socketserver.shutdown() waits on an event only
+            # serve_forever() sets — calling it un-started deadlocks
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=10)
@@ -355,10 +374,14 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="how long to wait coalescing concurrent requests "
                         "into the artifact's trace batch")
+    p.add_argument("--request_timeout_s", type=float, default=600.0,
+                   help="per-request wait bound; must cover the first-call "
+                        "backend compile (minutes on a tunneled TPU)")
     args = p.parse_args(argv)
 
     srv = ServingServer(args.artifact, port=args.port, host=args.host,
-                        batch_window_ms=args.batch_window_ms)
+                        batch_window_ms=args.batch_window_ms,
+                        request_timeout_s=args.request_timeout_s)
     m = srv.manifest
     print(f"serving {m['name']} (batch {m['batch_size']}, "
           f"{'guided' if m['guiding_style_image'] else 'independent'}) "

@@ -72,6 +72,32 @@ class CheckpointManager:
         self.manager.close()
 
 
+def load_inference_variables(exp: Experiment,
+                             checkpoints_dir: Optional[str] = None,
+                             verbose: bool = True,
+                             with_step: bool = False):
+    """Restore generator+encoder variables from a training checkpoint.
+
+    Checkpoints hold the full TrainState, so the restore template comes
+    from the TRAIN-mode system; only the inference nets are kept (D/VGG
+    dropped).  Shared by demo.py / evaluate.py / export_serving /
+    bench_server — one place for the restore semantics."""
+    from deepsee_tpu.system import SRSystem, SystemVariables
+    from deepsee_tpu.train.state import create_train_state
+
+    train_exp = exp.replace(is_train=True)
+    if checkpoints_dir:
+        train_exp = train_exp.replace(checkpoints_dir=checkpoints_dir)
+    ckpt = CheckpointManager(train_exp)
+    state = ckpt.restore(create_train_state(SRSystem(train_exp),
+                                            jax.random.PRNGKey(0)))
+    if verbose:
+        print(f"Loaded checkpoint at step {int(state.step)}")
+    variables = SystemVariables(g=state.g_vars, e=state.e_vars,
+                                d=None, vgg=None)
+    return (variables, int(state.step)) if with_step else variables
+
+
 def save_torch_compatible(variables: dict, path: str) -> None:
     """Export a variables dict to the reference's .pth key layout
     (inverse of utils/torch_import; requires torch)."""

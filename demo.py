@@ -178,19 +178,10 @@ def main():
         demo.variables = import_reference_checkpoint(
             demo.system, args.torch_checkpoint, epoch=args.epoch)
     elif args.checkpoint:
-        from deepsee_tpu.system import SRSystem, SystemVariables
-        from deepsee_tpu.train.state import create_train_state
-        from deepsee_tpu.utils.checkpoint import CheckpointManager
+        from deepsee_tpu.utils.checkpoint import load_inference_variables
 
-        # checkpoints hold the full TRAIN state; restore with that template
-        train_exp = exp.replace(is_train=True,
-                                checkpoints_dir=args.checkpoint)
-        ckpt = CheckpointManager(train_exp)
-        state = ckpt.restore(create_train_state(
-            SRSystem(train_exp), jax.random.PRNGKey(0)))
-        demo.variables = SystemVariables(g=state.g_vars, e=state.e_vars,
-                                         d=None, vgg=None)
-        print(f"Loaded checkpoint at step {int(state.step)}")
+        demo.variables = load_inference_variables(
+            exp, checkpoints_dir=args.checkpoint)
 
     inputs_hr = []
     for spec in args.hr_image:

@@ -73,17 +73,9 @@ def main():
             system, args.torch_checkpoint, epoch=args.epoch,
             variables=variables)
     elif not args.no_checkpoint:
-        from deepsee_tpu.train.state import create_train_state
-        from deepsee_tpu.utils.checkpoint import CheckpointManager
+        from deepsee_tpu.utils.checkpoint import load_inference_variables
 
-        train_exp = exp.replace(is_train=True)
-        train_system = SRSystem(train_exp)
-        ckpt = CheckpointManager(train_exp)
-        state = ckpt.restore(create_train_state(train_system,
-                                                jax.random.PRNGKey(0)))
-        variables = SystemVariables(g=state.g_vars, e=state.e_vars,
-                                    d=None, vgg=None)
-        print(f"Loaded checkpoint at step {int(state.step)}")
+        variables = load_inference_variables(exp)
 
     dataset = create_dataset(exp, phase="test")
     loader = DataLoader(dataset, args.batch_size, shuffle=False,

@@ -58,19 +58,10 @@ def main():
             system, args.torch_checkpoint, epoch=args.epoch,
             variables=variables)
     elif args.checkpoint:
-        from deepsee_tpu.system import SystemVariables
-        from deepsee_tpu.train.state import create_train_state
-        from deepsee_tpu.utils.checkpoint import CheckpointManager
+        from deepsee_tpu.utils.checkpoint import load_inference_variables
 
-        # checkpoints hold the full TRAIN state; restore with that template
-        train_exp = exp.replace(is_train=True,
-                                checkpoints_dir=args.checkpoint)
-        ckpt = CheckpointManager(train_exp)
-        state = ckpt.restore(create_train_state(
-            SRSystem(train_exp), jax.random.PRNGKey(0)))
-        variables = SystemVariables(g=state.g_vars, e=state.e_vars,
-                                    d=None, vgg=None)
-        print(f"Loaded checkpoint at step {int(state.step)}")
+        variables = load_inference_variables(
+            exp, checkpoints_dir=args.checkpoint)
     else:
         print("WARNING: exporting RANDOM-INIT weights (no --checkpoint)")
 

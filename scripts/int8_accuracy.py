@@ -45,22 +45,15 @@ def main():
     from deepsee_tpu.config import get_preset
     from deepsee_tpu.data import SyntheticDataset
     from deepsee_tpu.models.layers import int8_inference
-    from deepsee_tpu.system import SRSystem, SystemVariables
-    from deepsee_tpu.train.state import create_train_state
-    from deepsee_tpu.utils.checkpoint import CheckpointManager
+    from deepsee_tpu.system import SRSystem
+    from deepsee_tpu.utils.checkpoint import load_inference_variables
 
     exp = get_preset(args.name).replace(is_train=False,
                                         checkpoints_dir=args.checkpoints_dir)
     system = SRSystem(exp)
     cfg = exp.model
 
-    train_exp = exp.replace(is_train=True)
-    ckpt = CheckpointManager(train_exp)
-    state = ckpt.restore(create_train_state(SRSystem(train_exp),
-                                            jax.random.PRNGKey(0)))
-    variables = SystemVariables(g=state.g_vars, e=state.e_vars,
-                                d=None, vgg=None)
-    step = int(state.step)
+    variables, step = load_inference_variables(exp, with_step=True)
 
     ds = SyntheticDataset(exp, length=args.batch, seed=args.seed)
     samples = [ds[i] for i in range(args.batch)]

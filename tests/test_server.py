@@ -247,3 +247,20 @@ def test_guided_parse_requires_guiding_fields(artifact):
         (cfg.label_nc, cfg.regional_style_size), np.float32).tolist()
     program, args = srv._parse_request(body)
     assert program == "styled" and len(args) == 3
+
+
+def test_stop_before_start_does_not_hang(artifact):
+    """socketserver.shutdown() waits on an event only serve_forever sets;
+    stop() must be safe on a constructed-but-never-started server."""
+    d, _ = artifact
+    srv = ServingServer(d, port=0)
+    t0 = __import__("time").monotonic()
+    srv.stop()
+    assert __import__("time").monotonic() - t0 < 10
+
+
+def test_submit_after_close_raises():
+    mb = MicroBatcher({"p": (lambda x: x, 2)}, batch_window_ms=1.0)
+    mb.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        mb.submit("p", (np.zeros((1, 1), np.float32),))
