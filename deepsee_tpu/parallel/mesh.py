@@ -76,11 +76,28 @@ def batch_spec(spatial: bool = False) -> P:
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,
                 spatial: bool = False) -> Dict[str, Any]:
-    """Shard every array in the batch dict along batch (and optionally H)."""
+    """Shard every array in the batch dict along batch (and optionally H).
+
+    Single-process: a plain device_put with the global sharding.
+    Multi-process (a real pod, mesh spanning hosts): each process passes
+    only ITS stripe — global_batch / process_count rows, what the
+    host-sharded DataLoader yields — and the global array is assembled
+    from the per-process stripes (device_put would reject the stripe:
+    it expects the full global value on every host).  Verified by the
+    real two-process distributed test, tests/test_distributed_multihost.py.
+    """
+    nproc = jax.process_count()
     out = {}
     for k, v in batch.items():
         spec = batch_spec(spatial and getattr(v, "ndim", 0) >= 3)
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if nproc > 1:
+            v = np.asarray(v)
+            global_shape = (v.shape[0] * nproc,) + v.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(
+                sh, v, global_shape)
+        else:
+            out[k] = jax.device_put(v, sh)
     return out
 
 

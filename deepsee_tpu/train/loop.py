@@ -42,6 +42,12 @@ class Trainer:
         self.mesh = None
         if exp.mesh.n_devices > 1:
             self.mesh = make_mesh(exp.mesh)
+        elif jax.process_count() > 1:
+            raise ValueError(
+                "multi-process run needs a mesh covering all global "
+                "devices (set data/model/dcn axes; n_devices="
+                f"{exp.mesh.n_devices} but {jax.process_count()} "
+                "processes are live)")
 
         self.state = create_train_state(
             self.system, jax.random.PRNGKey(exp.train.seed))
@@ -69,16 +75,26 @@ class Trainer:
 
     def make_dataloader(self) -> DataLoader:
         """Train loader; under multi-host (multi-process) JAX each host reads
-        a disjoint stripe of every globally-shuffled epoch — the per-host
-        batch then shards over the mesh "data" axis on device.  (The
-        reference is single-host; this is the TPU-native scale-out path,
-        SURVEY §7 step 5.)"""
+        a disjoint stripe of every globally-shuffled epoch and yields
+        batch_size / process_count samples per step — its rows of the
+        GLOBAL batch, assembled on device by shard_batch.  (The reference
+        is single-host; this is the TPU-native scale-out path, SURVEY §7
+        step 5.)"""
         tc = self.exp.train
         dataset = create_dataset(self.exp, phase="train")
-        return DataLoader(dataset, tc.batch_size, shuffle=True,
+        return DataLoader(dataset, self._per_host_batch(), shuffle=True,
                           drop_last=True, seed=tc.seed,
                           shard_index=jax.process_index(),
                           num_shards=jax.process_count())
+
+    def _per_host_batch(self) -> int:
+        """batch_size is the GLOBAL batch; each host loads its share."""
+        b, nproc = self.exp.train.batch_size, jax.process_count()
+        if b % nproc:
+            raise ValueError(
+                f"global batch_size {b} not divisible by "
+                f"{nproc} processes")
+        return b // nproc
 
     def _device_batch(self, batch: Dict) -> Dict:
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
@@ -117,8 +133,8 @@ class Trainer:
         import copy as _copy
         eval_dataset = _copy.copy(dataloader.dataset)
         eval_loader = DataLoader(
-            eval_dataset, tc.batch_size, shuffle=True, drop_last=True,
-            seed=tc.seed + 7919, num_workers=2, prefetch=0,
+            eval_dataset, self._per_host_batch(), shuffle=True,
+            drop_last=True, seed=tc.seed + 7919, num_workers=2, prefetch=0,
             shard_index=jax.process_index(),
             num_shards=jax.process_count())
 

@@ -42,10 +42,17 @@ def main():
                         "serving path's metrics (quality-delta measurement)")
     p.add_argument("--out", default="")
     p.add_argument("--save_images", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize(); each host evaluates "
+                        "its loader stripe, metrics are all-gathered")
     from deepsee_tpu.utils.compile_cache import (add_cache_args,
                                                  apply_cache_args)
     add_cache_args(p)
     args = p.parse_args()
+    if args.multihost:
+        import jax as _jax
+
+        _jax.distributed.initialize()
     apply_cache_args(args)
 
     import jax

@@ -52,7 +52,15 @@ def test_trainer_wires_process_sharding(monkeypatch):
     trainer = Trainer(exp)
 
     monkeypatch.setattr(jax, "process_index", lambda: 1)
-    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
     loader = trainer.make_dataloader()
     assert loader.shard_index == 1
-    assert loader.num_shards == 4
+    assert loader.num_shards == 2
+    # batch_size is GLOBAL: each host loads its share of every batch
+    assert loader.batch_size == exp.train.batch_size // 2
+
+    # a global batch not divisible by the process count is an error
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        trainer.make_dataloader()

@@ -41,6 +41,11 @@ def parse_args():
                    help="data parallelism ACROSS slices (multi-slice pods);"
                         " batch + grad all-reduce cross DCN, model/spatial"
                         " sharding stays on ICI")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (auto-detected "
+                        "coordinator on Cloud TPU pods; honors "
+                        "JAX_COORDINATOR_ADDRESS etc. elsewhere) — run one "
+                        "process per host, batch_size stays GLOBAL")
     p.add_argument("--partition", default="tensor",
                    choices=("tensor", "spatial"),
                    help="how the model axis is used (channel vs H sharding)")
@@ -79,6 +84,13 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.multihost:
+        # must run before the first backend use in this process
+        import jax
+
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
     from deepsee_tpu.config import MeshConfig, get_preset
     from deepsee_tpu.train.loop import Trainer
     from deepsee_tpu.utils.compile_cache import apply_cache_args
