@@ -1,5 +1,6 @@
 from deepsee_tpu.parallel.mesh import (
     batch_spec,
+    host_local_variables,
     make_mesh,
     shard_batch,
     shard_system_variables,

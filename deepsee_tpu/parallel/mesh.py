@@ -101,6 +101,34 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
     return out
 
 
+def host_local_variables(tree):
+    """Pull globally-replicated arrays down to host-local numpy values.
+
+    The in-training eval sweep runs per host on ITS loader stripe
+    (eval/evaluator.py): its jits take host-local batches, so the
+    variables must be host-local too — a global-mesh array mixed with
+    local inputs fails at dispatch on multi-process runs.  Under the
+    dp and dp×sp meshes (the recommended 512px layouts) params are
+    replicated, so every host already holds a full copy in its first
+    addressable shard.  Model(tensor)-sharded params would need a
+    cross-host all-gather here — evaluate those offline via evaluate.py
+    (which restores a local copy from the checkpoint).
+
+    No-op single-process (arrays stay on device, fully addressable)."""
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.sharding.is_fully_addressable:
+            spec = getattr(x.sharding, "spec", ())
+            if any(ax is not None for ax in spec):
+                raise NotImplementedError(
+                    "host-local eval of model-sharded params: use a dp or "
+                    "dp×sp mesh (replicated params) for in-training eval, "
+                    "or evaluate offline with evaluate.py")
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    return jax.tree_util.tree_map(pull, tree)
+
+
 # -- parameter sharding ------------------------------------------------------
 
 # Generator blocks: conv_0 produces the block's inner activation, conv_1

@@ -107,6 +107,19 @@ class Trainer:
         s = self.state
         return SystemVariables(g=s.g_vars, e=s.e_vars, d=s.d_vars, vgg=s.vgg)
 
+    def eval_variables(self) -> SystemVariables:
+        """Variables for the per-host eval sweep: the evaluator's jits take
+        host-local batches (each host sweeps its loader stripe), so on
+        multi-process runs the globally-replicated params are pulled to
+        host-local copies first (global-mesh arrays mixed with local
+        inputs fail at dispatch)."""
+        v = self.variables()
+        if jax.process_count() > 1:
+            from deepsee_tpu.parallel import host_local_variables
+
+            v = host_local_variables(v)
+        return v
+
     def run(self, dataloader: Optional[DataLoader] = None,
             val_loader: Optional[DataLoader] = None,
             max_steps: Optional[int] = None) -> TrainState:
@@ -173,7 +186,8 @@ class Trainer:
                         # reference train.py:85-105: evaluate the training
                         # set (FID + metrics history), plus the val set when
                         # --evaluate_val_set; exhaustion -> FID 500 fallback
-                        result = evaluate_set(evaluator, self.variables(),
+                        result = evaluate_set(evaluator,
+                                              self.eval_variables(),
                                               eval_loader)
                         counter.record_fid(result.get("FID", 500.0), "train",
                                            tc.num_evaluation_samples)
@@ -181,7 +195,8 @@ class Trainer:
                                                tc.num_evaluation_samples)
                         if val_loader is not None:
                             result_val = evaluate_set(
-                                evaluator, self.variables(), val_loader)
+                                evaluator, self.eval_variables(),
+                                val_loader)
                             counter.record_fid(result_val.get("FID", 500.0),
                                                "validation",
                                                tc.num_evaluation_samples)

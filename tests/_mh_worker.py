@@ -66,7 +66,18 @@ def main():
     step = make_train_step(system, donate=False)
     state, logs = step(state, batch)
     logs = {k: float(v) for k, v in jax.device_get(logs).items()}
-    print("MHRESULT " + json.dumps({"pid": pid, "logs": logs}), flush=True)
+
+    # the in-training eval path: replicated global params must pull down
+    # to identical host-local copies on every host (loop.eval_variables)
+    from deepsee_tpu.parallel import host_local_variables
+
+    hl = host_local_variables(state.g_vars)
+    k = hl["params"]["initial"]["kernel"]
+    assert isinstance(k, np.ndarray), type(k)
+    digest = float(np.abs(k).sum())
+
+    print("MHRESULT " + json.dumps(
+        {"pid": pid, "logs": logs, "hl_digest": digest}), flush=True)
 
 
 if __name__ == "__main__":

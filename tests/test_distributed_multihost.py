@@ -77,12 +77,16 @@ def test_two_process_distributed_matches_single_process():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
-    results = {}
+    results, digests = {}, {}
     for out in outs:
         line = [l for l in out.splitlines() if l.startswith("MHRESULT ")]
         assert line, f"no result line in:\n{out[-2000:]}"
         r = json.loads(line[-1][len("MHRESULT "):])
         results[r["pid"]] = r["logs"]
+        digests[r["pid"]] = r["hl_digest"]
+
+    # host_local_variables pulled identical full param copies on each host
+    assert digests[0] == digests[1] and digests[0] > 0
 
     assert set(results) == {0, 1}
     # both hosts see the same global losses...
