@@ -117,8 +117,9 @@ def host_local_variables(tree):
     No-op single-process (arrays stay on device, fully addressable)."""
     def pull(x):
         if isinstance(x, jax.Array) and not x.sharding.is_fully_addressable:
-            spec = getattr(x.sharding, "spec", ())
-            if any(ax is not None for ax in spec):
+            # fail CLOSED: anything not provably replicated would return
+            # one shard masquerading as the full array
+            if not x.sharding.is_fully_replicated:
                 raise NotImplementedError(
                     "host-local eval of model-sharded params: use a dp or "
                     "dp×sp mesh (replicated params) for in-training eval, "

@@ -40,14 +40,29 @@ class Trainer:
         self.system = SRSystem(exp)
 
         self.mesh = None
+        if jax.process_count() > 1:
+            # multi-process demands a mesh spanning ALL global devices:
+            # a smaller mesh leaves some hosts with zero addressable
+            # shards and dies in an opaque placement error at batch 1
+            if exp.mesh.n_devices != len(jax.devices()):
+                raise ValueError(
+                    "multi-process run needs a mesh covering all global "
+                    f"devices: mesh n_devices={exp.mesh.n_devices} but "
+                    f"{len(jax.devices())} devices across "
+                    f"{jax.process_count()} processes")
+            # tensor-sharded params cannot feed the per-host eval sweep
+            # (host_local_variables raises) — fail at startup, not at the
+            # first eval trigger hours into a pod run
+            if (not exp.mesh.spatial and exp.mesh.model_axis > 1
+                    and exp.train.evaluation_freq > 0):
+                raise ValueError(
+                    "multi-process tensor-parallel training cannot run "
+                    "the in-training eval sweep (params are model-"
+                    "sharded): use --partition spatial / pure dp, or "
+                    "disable in-training eval (evaluation_freq=0) and "
+                    "evaluate offline with evaluate.py")
         if exp.mesh.n_devices > 1:
             self.mesh = make_mesh(exp.mesh)
-        elif jax.process_count() > 1:
-            raise ValueError(
-                "multi-process run needs a mesh covering all global "
-                "devices (set data/model/dcn axes; n_devices="
-                f"{exp.mesh.n_devices} but {jax.process_count()} "
-                "processes are live)")
 
         self.state = create_train_state(
             self.system, jax.random.PRNGKey(exp.train.seed))
@@ -129,7 +144,19 @@ class Trainer:
         if dataloader is None:
             dataloader = self.make_dataloader()
 
-        counter = IterationCounter(exp, len(dataloader) * tc.batch_size)
+        # lockstep bound: every step runs global-mesh collectives, so all
+        # hosts must take the SAME number of steps per epoch.  Per-host
+        # stripes can differ by one sample (strided sharding); truncate
+        # to the count every host is guaranteed to reach — computable
+        # locally from the global dataset size, no collective needed.
+        steps_per_epoch = len(dataloader)
+        if jax.process_count() > 1:
+            steps_per_epoch = min(
+                steps_per_epoch,
+                (len(dataloader.dataset) // jax.process_count())
+                // dataloader.batch_size)
+
+        counter = IterationCounter(exp, steps_per_epoch * tc.batch_size)
         visualizer = Visualizer(exp)
         evaluator = None  # built lazily at the first evaluation trigger
         if val_loader is None and tc.evaluate_val_set:
@@ -157,6 +184,8 @@ class Trainer:
                 counter.record_epoch_start(epoch)
                 self.state = set_epoch_lr(self.state, exp, epoch)
                 for i, batch in enumerate(dataloader):
+                    if i >= steps_per_epoch:
+                        break
                     device_batch = self._device_batch(batch)
                     do_g = (i % tc.d_steps_per_g == 0)
                     step_fn = (self.step_gd if do_g or self.step_d is None
@@ -186,8 +215,8 @@ class Trainer:
                         # reference train.py:85-105: evaluate the training
                         # set (FID + metrics history), plus the val set when
                         # --evaluate_val_set; exhaustion -> FID 500 fallback
-                        result = evaluate_set(evaluator,
-                                              self.eval_variables(),
+                        ev_vars = self.eval_variables()
+                        result = evaluate_set(evaluator, ev_vars,
                                               eval_loader)
                         counter.record_fid(result.get("FID", 500.0), "train",
                                            tc.num_evaluation_samples)
@@ -195,8 +224,7 @@ class Trainer:
                                                tc.num_evaluation_samples)
                         if val_loader is not None:
                             result_val = evaluate_set(
-                                evaluator, self.eval_variables(),
-                                val_loader)
+                                evaluator, ev_vars, val_loader)
                             counter.record_fid(result_val.get("FID", 500.0),
                                                "validation",
                                                tc.num_evaluation_samples)

@@ -141,5 +141,7 @@ class IterationCounter:
                 self.exp.train.save_latest_freq) < self.batch_size
 
     def needs_evaluation(self) -> bool:
-        return (self.total_steps_so_far %
-                self.exp.train.evaluation_freq) < self.batch_size
+        freq = self.exp.train.evaluation_freq
+        if freq <= 0:  # disabled (e.g. multi-process tensor-parallel runs)
+            return False
+        return (self.total_steps_so_far % freq) < self.batch_size

@@ -85,8 +85,13 @@ def main():
         variables = load_inference_variables(exp)
 
     dataset = create_dataset(exp, phase="test")
+    # per-host stripes under --multihost: the evaluator caps each host at
+    # num_samples/process_count and all-gathers, so the loader must hand
+    # each host DISJOINT samples or the merged set is nproc duplicates
     loader = DataLoader(dataset, args.batch_size, shuffle=False,
-                        drop_last=True)
+                        drop_last=True,
+                        shard_index=jax.process_index(),
+                        num_shards=jax.process_count())
 
     ev = InferenceEvaluator(
         system, num_samples=args.num_samples,
@@ -104,7 +109,9 @@ def main():
         result = ev.run(variables, loader)
     print(json.dumps(result, indent=2, sort_keys=True))
 
-    if args.save_images and args.out:
+    from deepsee_tpu.utils.files import is_main_process
+
+    if args.save_images and args.out and is_main_process():
         import numpy as np
         from deepsee_tpu.utils.visualizer import save_images_only
 

@@ -73,7 +73,12 @@ def test_two_process_distributed_matches_single_process():
         [sys.executable, WORKER, str(pid), "2", coord],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=env) for pid in range(2)]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=540)[0] for p in procs]
+    finally:
+        for p in procs:  # don't leak wedged workers / the coordinator port
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
