@@ -264,3 +264,85 @@ def test_submit_after_close_raises():
     mb.close()
     with pytest.raises(RuntimeError, match="shutting down"):
         mb.submit("p", (np.zeros((1, 1), np.float32),))
+
+
+def test_microbatcher_stress_mixed_programs():
+    """50 requests, 8 client threads, two programs with different trace
+    batches and artificial jitter: every future must resolve with exactly
+    its own input transformed, batches never exceed their cap, and
+    nothing deadlocks."""
+    import threading
+    import time as _time
+
+    seen = {"a": [], "b": []}
+    lock = threading.Lock()
+
+    def make_fn(name, factor):
+        def fn(x):
+            _time.sleep(0.002)  # device-call jitter
+            with lock:
+                seen[name].append(np.asarray(x).shape[0])
+            return np.asarray(x) * factor
+        return fn
+
+    mb = MicroBatcher({"a": (make_fn("a", 2.0), 3),
+                       "b": (make_fn("b", -1.0), 5)},
+                      batch_window_ms=4.0)
+    try:
+        futs = []
+        def client(base):
+            for i in range(base, base + 25):
+                prog = "a" if i % 3 else "b"
+                futs.append((prog, i, mb.submit(
+                    prog, (np.full((1, 4), float(i), np.float32),))))
+                _time.sleep(0.0005 * (i % 4))
+
+        threads = [threading.Thread(target=client, args=(k * 25,))
+                   for k in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for prog, i, f in futs:
+            out = f.result(timeout=30)[0]
+            want = i * (2.0 if prog == "a" else -1.0)
+            np.testing.assert_allclose(out, np.full((4,), want))
+        assert all(s == 3 for s in seen["a"])  # padded to each cap
+        assert all(s == 5 for s in seen["b"])
+        assert mb.stats["errors"] == 0
+        assert mb.stats["requests"] == 50
+    finally:
+        mb.close()
+
+
+def test_microbatcher_shutdown_under_load():
+    """close() during a submit storm: every accepted request either
+    resolves or fails with the shutdown error — none hang."""
+    import threading
+
+    def fn(x):
+        return np.asarray(x)
+
+    mb = MicroBatcher({"p": (fn, 4)}, batch_window_ms=2.0)
+    futs, rejected = [], []
+
+    def client():
+        for i in range(30):
+            try:
+                futs.append(mb.submit(
+                    "p", (np.full((1, 2), float(i), np.float32),)))
+            except RuntimeError:
+                rejected.append(i)
+
+    t = threading.Thread(target=client)
+    t.start()
+    mb.close()
+    t.join()
+
+    for f in futs:
+        try:
+            f.result(timeout=10)  # resolved value or shutdown error ok
+        except RuntimeError as e:
+            assert "shut down" in str(e)
+    assert len(futs) + len(rejected) == 30
