@@ -346,3 +346,51 @@ def test_microbatcher_shutdown_under_load():
         except RuntimeError as e:
             assert "shut down" in str(e)
     assert len(futs) + len(rejected) == 30
+
+
+def test_guided_artifact_end_to_end(tmp_path):
+    """The 4-arg guided program through the daemon's full HTTP + batching
+    path (the parse-level test above covers routing only)."""
+    import dataclasses as _dc
+
+    exp = tiny_test_experiment(is_train=False)
+    exp = exp.replace(model=_dc.replace(
+        exp.model, net_e="fullstyle", guiding_style_image=True))
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(1))
+    blobs = export_serving(exp, variables, batch_size=2, platforms=("cpu",))
+    save_serving(str(tmp_path), exp, blobs, batch_size=2,
+                 platforms=("cpu",))
+
+    srv = ServingServer(str(tmp_path), port=0, batch_window_ms=20.0)
+    srv.start()
+    try:
+        cfg = exp.model
+        bodies = [_request_payload(cfg, seed, guided=True)
+                  for seed in (11, 12)]
+        with concurrent.futures.ThreadPoolExecutor(2) as pool:
+            results = list(pool.map(
+                lambda b: _post(srv.port, "/v1/super_resolve", b), bodies))
+
+        fn = load_serving(str(tmp_path), "end_to_end")
+        from deepsee_tpu.utils.images import tensor2im
+        for body, (status, resp) in zip(bodies, results):
+            assert status == 200, resp
+            lr = decode_image_b64(body["image_lr"], cfg.start_size)
+            lab = decode_label_b64(body["label"], cfg.crop_size,
+                                   cfg.label_nc)
+            gi = decode_image_b64(body["guiding_image"], cfg.crop_size)
+            gl = decode_label_b64(body["guiding_label"], cfg.crop_size,
+                                  cfg.label_nc)
+            fake, style = fn(np.concatenate([lr, lr]),
+                             np.concatenate([lab, lab]),
+                             np.concatenate([gi, gi]),
+                             np.concatenate([gl, gl]))
+            got = decode_image_b64(resp["image"], cfg.crop_size)[0]
+            np.testing.assert_array_equal(
+                tensor2im(got), tensor2im(np.asarray(fake)[0]))
+            np.testing.assert_allclose(
+                np.asarray(resp["style"], np.float32),
+                np.asarray(style)[0], rtol=1e-5, atol=1e-6)
+    finally:
+        srv.stop()
