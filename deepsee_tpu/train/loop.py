@@ -28,7 +28,6 @@ from deepsee_tpu.train.state import (TrainState, create_train_state,
                                      set_epoch_lr)
 from deepsee_tpu.train.steps import make_train_step
 from deepsee_tpu.utils.checkpoint import CheckpointManager
-from deepsee_tpu.utils.images import tensor2im
 from deepsee_tpu.utils.iter_counter import IterationCounter
 from deepsee_tpu.utils.visualizer import Visualizer
 

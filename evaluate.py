@@ -60,7 +60,7 @@ def main():
     from deepsee_tpu.config import get_preset
     from deepsee_tpu.data import DataLoader, create_dataset
     from deepsee_tpu.eval.evaluator import InferenceEvaluator
-    from deepsee_tpu.system import SRSystem, SystemVariables
+    from deepsee_tpu.system import SRSystem
 
     exp = get_preset(args.name).replace(is_train=False,
                                         checkpoints_dir=args.checkpoints_dir)

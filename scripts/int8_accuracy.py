@@ -15,7 +15,6 @@ reconstruction quality does int8 give up?).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
