@@ -131,3 +131,43 @@ def test_train_then_demo_evaluate_export(tmp_path, guided):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(style), np.asarray(ref_style),
                                rtol=1e-5, atol=1e-5)
+
+    # ---- HTTP daemon over the exported trained-weights artifact ----------
+    import base64
+    import io
+    import json as _json
+    import urllib.request
+
+    from deepsee_tpu.server import ServingServer
+
+    def _png(arr_u8):
+        buf = io.BytesIO()
+        Image.fromarray(arr_u8).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    srv = ServingServer(serving_dir, port=0, batch_window_ms=5.0)
+    srv.start()
+    try:
+        body = {
+            "image_lr": _png(rng.randint(
+                0, 256, (cfg.start_size, cfg.start_size, 3), np.uint8)),
+            "label": _png(rng.randint(
+                0, cfg.label_nc,
+                (cfg.crop_size, cfg.crop_size)).astype(np.uint8)),
+        }
+        if guided:
+            body["guiding_image"] = _png(rng.randint(
+                0, 256, (cfg.crop_size, cfg.crop_size, 3), np.uint8))
+            body["guiding_label"] = body["label"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/super_resolve",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            resp = _json.loads(r.read())
+        served = Image.open(io.BytesIO(base64.b64decode(resp["image"])))
+        assert served.size == (cfg.crop_size, cfg.crop_size)
+        assert np.asarray(resp["style"], np.float32).shape == (
+            cfg.label_nc, cfg.regional_style_size)
+    finally:
+        srv.stop()
