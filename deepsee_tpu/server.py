@@ -62,25 +62,20 @@ def decode_image_b64(b64: str, size: int) -> np.ndarray:
     """b64 PNG/JPEG -> (1, size, size, 3) float32 in [-1, 1]."""
     from PIL import Image
 
-    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
-    if img.size != (size, size):
-        img = img.resize((size, size), Image.BICUBIC)
-    arr = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
-    return arr[None]
+    from deepsee_tpu.utils.images import image_to_array
+
+    return image_to_array(
+        Image.open(io.BytesIO(base64.b64decode(b64))), size)
 
 
 def decode_label_b64(b64: str, size: int, label_nc: int) -> np.ndarray:
     """b64 PNG -> (1, size, size) int32; 255 (unknown) -> label_nc."""
     from PIL import Image
 
-    lab = Image.open(io.BytesIO(base64.b64decode(b64)))
-    if lab.size != (size, size):
-        lab = lab.resize((size, size), Image.NEAREST)
-    arr = np.asarray(lab).astype(np.int32)
-    if arr.ndim == 3:
-        arr = arr[..., 0]
-    arr = np.where(arr == 255, label_nc, arr)
-    return arr[None]
+    from deepsee_tpu.utils.images import label_to_array
+
+    return label_to_array(
+        Image.open(io.BytesIO(base64.b64decode(b64))), size, label_nc)
 
 
 def encode_image_b64(img: np.ndarray) -> str:
@@ -97,13 +92,12 @@ def encode_image_b64(img: np.ndarray) -> str:
 # -- micro-batcher --------------------------------------------------------
 
 class _Request:
-    __slots__ = ("program", "args", "future", "t_enqueue")
+    __slots__ = ("program", "args", "future")
 
     def __init__(self, program: str, args: Tuple[np.ndarray, ...]):
         self.program = program
         self.args = args
         self.future: Future = Future()
-        self.t_enqueue = time.monotonic()
 
 
 class MicroBatcher:

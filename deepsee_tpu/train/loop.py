@@ -131,7 +131,11 @@ class Trainer:
         if jax.process_count() > 1:
             from deepsee_tpu.parallel import host_local_variables
 
-            v = host_local_variables(v)
+            # device_put once: numpy leaves would re-upload the whole
+            # param set host->device on EVERY eval batch (uncommitted
+            # inputs are not transfer-cached by jit)
+            v = jax.device_put(host_local_variables(v),
+                               jax.local_devices()[0])
         return v
 
     def run(self, dataloader: Optional[DataLoader] = None,
@@ -260,20 +264,33 @@ class Trainer:
         # per-op dispatch it replaces stalled a real 256 px run for minutes
         # on the first display trigger (ARCHITECTURE.md eager-vs-jit
         # measurement: 191 s eager sweep vs 0.2 s jitted).
-        # The generate runs on EVERY host (SPMD collectives inside), but
-        # only the main process fetches and writes; fetching uses this
-        # host's first addressable shard — indexing a global array's [0]
-        # can span non-addressable devices on a multi-host mesh.
+        # The generate runs on EVERY host (SPMD collectives inside); the
+        # all-gather below must therefore also run on every host, and only
+        # the main process writes.  Fetching must reassemble the FULL first
+        # sample: under spatial sharding a single shard is a 1/model_axis
+        # horizontal stripe, and on a multi-host mesh row 0 may not even be
+        # addressable here.
         pre = self.system.preprocess_jit(device_batch)
         fake, _ = self.system.generate_jit(
             self.state.g_vars, self.state.e_vars, pre, None,
             self.system.cfg.full_style_image, True, None)
+
+        def first_sample(arr):
+            if getattr(arr, "sharding", None) is None or \
+                    arr.sharding.is_fully_addressable:
+                return np.asarray(jax.device_get(arr))[0]
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(arr, tiled=True))[0]
+
         from deepsee_tpu.utils.files import is_main_process
-        if not is_main_process():
-            return
+        main = is_main_process()
 
         def first_local(arr):
-            return np.asarray(arr.addressable_shards[0].data)[0]
+            # every host participates in the gather; non-main drops it
+            full = first_sample(arr)
+            return full if main else None
 
         visuals = {
             "input_label": first_local(pre["label"]),
@@ -281,4 +298,5 @@ class Trainer:
             "synthesized_image": first_local(fake),
             "real_image": first_local(pre["image_hr"]),
         }
-        visualizer.display_current_results(visuals, epoch, step)
+        if main:
+            visualizer.display_current_results(visuals, epoch, step)

@@ -19,6 +19,31 @@ def tensor2im(x: np.ndarray) -> np.ndarray:
     return np.clip(y, 0, 255).astype(np.uint8)
 
 
+def image_to_array(img, size: Optional[int] = None) -> np.ndarray:
+    """PIL image -> (1, size, size, 3) float32 in [-1, 1].
+
+    The single source of the input-image convention (u8/255*2-1, BICUBIC
+    resize) shared by demo.py and the HTTP server codecs."""
+    img = img.convert("RGB")
+    if size and img.size != (size, size):
+        img = img.resize((size, size), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
+    return arr[None]
+
+
+def label_to_array(lab, size: int, label_nc: int) -> np.ndarray:
+    """PIL label map -> (1, size, size) int32; NEAREST resize, RGB
+    collapsed to one channel, 255 (unknown) -> label_nc.  Shared by
+    demo.py and the HTTP server codecs."""
+    if lab.size != (size, size):
+        lab = lab.resize((size, size), Image.NEAREST)
+    arr = np.asarray(lab).astype(np.int32)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    arr = np.where(arr == 255, label_nc, arr)
+    return arr[None]
+
+
 def label2im(label: np.ndarray, n_label: int = 19) -> np.ndarray:
     """Integer (or one-hot NHWC) label map -> RGB uint8."""
     label = np.asarray(label)

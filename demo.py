@@ -43,22 +43,16 @@ class Demo:
     # -- IO -------------------------------------------------------------
 
     def load_image(self, path: str, size: Optional[int] = None) -> jnp.ndarray:
-        img = Image.open(path).convert("RGB")
-        if size and img.size != (size, size):
-            img = img.resize((size, size), Image.BICUBIC)
-        arr = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
-        return jnp.asarray(arr)[None]
+        from deepsee_tpu.utils.images import image_to_array
+
+        return jnp.asarray(image_to_array(Image.open(path), size))
 
     def load_label(self, path: str) -> jnp.ndarray:
+        from deepsee_tpu.utils.images import label_to_array
+
         cfg = self.exp.model
-        lab = Image.open(path)
-        if lab.size != (cfg.crop_size, cfg.crop_size):
-            lab = lab.resize((cfg.crop_size, cfg.crop_size), Image.NEAREST)
-        arr = np.asarray(lab).astype(np.int32)
-        if arr.ndim == 3:
-            arr = arr[..., 0]
-        arr[arr == 255] = cfg.label_nc
-        return jnp.asarray(arr)[None]
+        return jnp.asarray(label_to_array(
+            Image.open(path), cfg.crop_size, cfg.label_nc))
 
     # -- style sources ----------------------------------------------------
 

@@ -13,9 +13,9 @@ timing the benchmarks use:
   d_fwd_bwd    + backward through D params
   vgg_fwd      VGG19 features of fake and real
   vgg_fwd_bwd  VGG loss + backward to the fake image (the path G's grad takes)
-  g_update     the full generator update (G loss incl. D+VGG, both backwards,
-               Adam) — the do_g branch of the fused step
-  full_step    the fused G+D step exactly as training runs it
+  d_update_only  the do_g=False branch (D regen + update, no G step)
+  full_step    the fused G+D step exactly as training runs it (the do_g
+               branch: full generator update then the D update)
 
 Each phase reports median ms, executed TFLOP (XLA cost analysis), bytes
 accessed, and the implied MXU / HBM-bandwidth utilizations; phases + sums
@@ -199,6 +199,10 @@ def main():
     }
     if args.phases:
         keep = set(args.phases.split(","))
+        unknown = keep - set(phases)
+        if unknown:
+            raise SystemExit(f"unknown phase(s) {sorted(unknown)}; "
+                             f"choose from {sorted(phases)}")
         phases = {k: v for k, v in phases.items() if k in keep}
 
     def chain(fn, depth):

@@ -215,3 +215,37 @@ def test_display_uses_jit_and_matches_eager(tmp_path):
         np.asarray(jax.device_get(fake[0])), atol=2e-5)
     for key in ("input_label", "image_lr", "real_image"):
         assert key in captured
+
+
+def test_display_full_image_under_spatial_mesh(tmp_path):
+    """Under --partition spatial every activation is H-sharded; _display
+    must still save the FULL image, not a 1/model_axis stripe (a plain
+    addressable_shards[0] fetch returns quarter-height crops)."""
+    from deepsee_tpu.config import MeshConfig
+    from deepsee_tpu.train.loop import Trainer
+    from deepsee_tpu.utils.visualizer import Visualizer
+
+    exp = tiny_test_experiment().replace(checkpoints_dir=str(tmp_path))
+    exp = exp.replace(
+        train=dataclasses.replace(exp.train, niter=1, niter_decay=0,
+                                  batch_size=2),
+        mesh=MeshConfig(2, 4, "spatial"))
+    trainer = Trainer(exp)
+
+    ds = SyntheticDataset(exp, length=2)
+    loader = DataLoader(ds, exp.train.batch_size, shuffle=False,
+                        drop_last=True, num_workers=1, prefetch=0)
+    device_batch = trainer._device_batch(next(iter(loader)))
+
+    captured = {}
+
+    class CaptureVis(Visualizer):
+        def display_current_results(self, visuals, epoch, step):
+            captured.update(visuals)
+
+    trainer._display(CaptureVis(exp), device_batch, epoch=1, step=0)
+    cfg = exp.model
+    assert captured["synthesized_image"].shape == (
+        cfg.crop_size, cfg.crop_size, 3), captured["synthesized_image"].shape
+    assert captured["real_image"].shape == (cfg.crop_size, cfg.crop_size, 3)
+    assert captured["image_lr"].shape == (cfg.start_size, cfg.start_size, 3)
