@@ -66,7 +66,29 @@ def main() -> None:
                                                  apply_cache_args)
     add_cache_args(ap)
     args = ap.parse_args()
+
+    # fail fast with a diagnostic when the device tunnel is down: backend
+    # init hangs indefinitely in C (GIL held, signals deferred) when the
+    # axon relay process has died (see CLAUDE.md), which reads as a bench
+    # hang rather than an infrastructure outage.  Probe in a killable
+    # subprocess BEFORE anything touches the backend in this process
+    # (apply_cache_args queries jax.default_backend()).  ~3 s healthy.
+    import subprocess
+
+    try:
+        subprocess.run([sys.executable, "-c",
+                        "import jax; jax.devices()"],
+                       timeout=300, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "images_per_sec_8x256_inference", "value": 0.0,
+            "unit": "img/s/chip", "vs_baseline": 0.0,
+            "error": f"device backend probe failed ({type(e).__name__}): "
+                     "TPU tunnel down / relay process dead?"}))
+        sys.exit(2)
+
     apply_cache_args(args)
+
     quant_ctx = contextlib.nullcontext()
     if args.int8:
         from deepsee_tpu.models.layers import int8_inference
