@@ -67,6 +67,18 @@ def main() -> None:
     add_cache_args(ap)
     args = ap.parse_args()
 
+    # metric naming is config-dependent; compute it up front so the
+    # tunnel-down error record below names the SAME metric the success
+    # path would have reported
+    default_run = (args.name == "8x_independent_256x256"
+                   and args.batch == DEFAULT_BATCH)
+    if default_run:
+        metric = ("images_per_sec_8x256_inference_int8" if args.int8
+                  else "images_per_sec_8x256_inference")
+    else:
+        metric = (f"images_per_sec_{args.name}_b{args.batch}_inference"
+                  + ("_int8" if args.int8 else ""))
+
     # fail fast with a diagnostic when the device tunnel is down: backend
     # init hangs indefinitely in C (GIL held, signals deferred) when the
     # axon relay process has died (see CLAUDE.md), which reads as a bench
@@ -80,11 +92,13 @@ def main() -> None:
                         "import jax; jax.devices()"],
                        timeout=300, check=True, capture_output=True)
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        print(json.dumps({
-            "metric": "images_per_sec_8x256_inference", "value": 0.0,
-            "unit": "img/s/chip", "vs_baseline": 0.0,
+        err = {
+            "metric": metric, "value": 0.0, "unit": "img/s/chip",
             "error": f"device backend probe failed ({type(e).__name__}): "
-                     "TPU tunnel down / relay process dead?"}))
+                     "TPU tunnel down / relay process dead?"}
+        if default_run:  # vs_baseline only exists for the headline config
+            err["vs_baseline"] = 0.0
+        print(json.dumps(err))
         sys.exit(2)
 
     apply_cache_args(args)
@@ -163,14 +177,6 @@ def main() -> None:
 
     ips = batch_n / sec
     ms_per_batch = sec * 1000.0
-    default_run = (args.name == "8x_independent_256x256"
-                   and batch_n == DEFAULT_BATCH)
-    if default_run:
-        metric = ("images_per_sec_8x256_inference_int8" if args.int8
-                  else "images_per_sec_8x256_inference")
-    else:
-        metric = (f"images_per_sec_{args.name}_b{batch_n}_inference"
-                  + ("_int8" if args.int8 else ""))
     out = {
         "metric": metric,
         "value": round(ips, 2),

@@ -212,6 +212,13 @@ class InferenceEvaluator:
             local["act_real"] = (np.concatenate(act_real, 0) if act_real
                                  else np.zeros((0, dim), np.float32))
         merged = self._merge_hosts(local, local_target)
+        # clamp to EXACTLY num_samples so results are invariant to process
+        # count and batch shape: multi-host ceil-division can deliver up to
+        # nproc-1 extra rows and a single host's last batch can overshoot by
+        # batch_size-1.  (Deliberate deviation: the reference itself sweeps
+        # num_samples//batch+1 batches, inference_manager.py:71, so ITS
+        # numbers cover ~num_samples+batch rows — ours cover num_samples.)
+        merged = {k: v[:self.num_samples] for k, v in merged.items()}
 
         acc = MetricsAccumulator()
         for name in metric_names:

@@ -56,6 +56,11 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+# request-body size cap: the largest legitimate payload (four b64 PNGs at
+# 512px) is well under 8 MiB; 64 MiB leaves generous headroom
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
 # -- request payload <-> arrays (demo.py:45-61 conventions) ---------------
 
 def decode_image_b64(b64: str, size: int) -> np.ndarray:
@@ -197,13 +202,24 @@ class MicroBatcher:
                 outs = [np.asarray(o) for o in outs]
                 for i, r in enumerate(batch):
                     r.future.set_result(tuple(o[i] for o in outs))
-                self.stats["batches"] += 1
-                self.stats["batched_samples"] += n
+                with self._cv:  # stats are read/reset from handler threads
+                    self.stats["batches"] += 1
+                    self.stats["batched_samples"] += n
             except Exception as e:  # noqa: BLE001 — fail the whole batch
-                self.stats["errors"] += n
+                with self._cv:
+                    self.stats["errors"] += n
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+
+    def stats_snapshot(self) -> Dict[str, int]:
+        with self._cv:
+            return dict(self.stats)
+
+    def reset_stats(self) -> None:
+        with self._cv:
+            for k in self.stats:
+                self.stats[k] = 0
 
 
 # -- the HTTP server ------------------------------------------------------
@@ -307,7 +323,7 @@ class ServingServer:
         return resp
 
     def health(self) -> dict:
-        s = dict(self.batcher.stats)
+        s = self.batcher.stats_snapshot()
         s["batch_fill"] = (
             round(s["batched_samples"] / (s["batches"] or 1)
                   / self.manifest["batch_size"], 3))
@@ -346,6 +362,13 @@ class ServingServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > MAX_BODY_BYTES:
+                        # refuse before reading: one oversized request must
+                        # not be able to exhaust host memory
+                        self._send(413, {
+                            "error": f"body {n} bytes exceeds the "
+                                     f"{MAX_BODY_BYTES} byte limit"})
+                        return
                     body = json.loads(self.rfile.read(n))
                     self._send(200, server.handle_super_resolve(body))
                 except BadRequest as e:

@@ -32,6 +32,13 @@ from deepsee_tpu.utils.iter_counter import IterationCounter
 from deepsee_tpu.utils.visualizer import Visualizer
 
 
+@jax.jit
+def _first_row(x):
+    """Batch row 0 (as a 1-row array), jitted so it is legal on
+    non-fully-addressable global arrays (jax_spmd_mode='allow_jit')."""
+    return x[:1]
+
+
 class Trainer:
     def __init__(self, exp: Experiment, continue_train: bool = False):
         assert exp.is_train
@@ -281,8 +288,15 @@ class Trainer:
                 return np.asarray(jax.device_get(arr))[0]
             from jax.experimental import multihost_utils
 
+            # gather ONE sample, not the global batch: slicing first keeps
+            # the cross-host traffic at 1 x H x W x C per visual instead of
+            # B x H x W x C.  The slice runs under an explicit jit —
+            # non-jit ops on non-fully-addressable arrays are rejected by
+            # jax_spmd_mode='allow_jit'; under spatial sharding the H
+            # shards still reassemble correctly after the gather.
+            head = _first_row(arr)
             return np.asarray(
-                multihost_utils.process_allgather(arr, tiled=True))[0]
+                multihost_utils.process_allgather(head, tiled=True))[0]
 
         from deepsee_tpu.utils.files import is_main_process
         main = is_main_process()

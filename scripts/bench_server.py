@@ -126,8 +126,7 @@ def main():
 
     print("warmup (first call compiles on the backend)...", flush=True)
     call(0)
-    for k in srv.batcher.stats:  # don't let warmup bias the fill ratio
-        srv.batcher.stats[k] = 0
+    srv.batcher.reset_stats()  # don't let warmup bias the fill ratio
 
     lat = []
     t0 = time.perf_counter()

@@ -16,6 +16,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NOTEBOOK = os.path.join(REPO_ROOT, "Demo.ipynb")
 
 
+@pytest.mark.slow
 def test_demo_notebook_executes_clean(monkeypatch):
     nbclient = pytest.importorskip("nbclient")
 

@@ -21,9 +21,12 @@ import sys
 
 import numpy as np
 import jax
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mh_worker.py")
+
+pytestmark = pytest.mark.slow  # ~5 min: real jax.distributed processes
 
 
 def _free_port() -> int:
