@@ -102,7 +102,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
 
 
 def host_local_variables(tree):
-    """Pull globally-replicated arrays down to host-local numpy values.
+    """Pull globally-distributed arrays down to host-local numpy values.
 
     The in-training eval sweep runs per host on ITS loader stripe
     (eval/evaluator.py): its jits take host-local batches, so the
@@ -110,24 +110,37 @@ def host_local_variables(tree):
     local inputs fails at dispatch on multi-process runs.  Under the
     dp and dp×sp meshes (the recommended 512px layouts) params are
     replicated, so every host already holds a full copy in its first
-    addressable shard.  Model(tensor)-sharded params would need a
-    cross-host all-gather here — evaluate those offline via evaluate.py
-    (which restores a local copy from the checkpoint).
+    addressable shard.  Model(tensor)-sharded params are all-gathered
+    first: ONE jitted identity with replicated out-shardings over the
+    whole sharded subset (GSPMD emits the all-gathers over ICI; ~0.31
+    GiB for the full system at ngf=32, paid once per eval trigger) —
+    the reference's in-training eval likewise works under its model
+    parallelism (train.py:85-105 with model_parallel_mode set).
 
     No-op single-process (arrays stay on device, fully addressable)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    sharded_idx = [
+        i for i, x in enumerate(leaves)
+        if isinstance(x, jax.Array) and not x.sharding.is_fully_addressable
+        and not x.sharding.is_fully_replicated]
+    if sharded_idx:
+        mesh = leaves[sharded_idx[0]].sharding.mesh
+        rep = NamedSharding(mesh, P())
+        gathered = jax.jit(lambda xs: xs, out_shardings=rep)(
+            [leaves[i] for i in sharded_idx])
+        for i, g in zip(sharded_idx, gathered):
+            leaves[i] = g
+
     def pull(x):
         if isinstance(x, jax.Array) and not x.sharding.is_fully_addressable:
-            # fail CLOSED: anything not provably replicated would return
-            # one shard masquerading as the full array
-            if not x.sharding.is_fully_replicated:
-                raise NotImplementedError(
-                    "host-local eval of model-sharded params: use a dp or "
-                    "dp×sp mesh (replicated params) for in-training eval, "
-                    "or evaluate offline with evaluate.py")
+            # after the gather everything non-addressable is replicated,
+            # so shard 0 IS the full array
+            assert x.sharding.is_fully_replicated
             return np.asarray(x.addressable_data(0))
         return x
 
-    return jax.tree_util.tree_map(pull, tree)
+    return jax.tree_util.tree_map(
+        pull, jax.tree_util.tree_unflatten(treedef, leaves))
 
 
 # -- parameter sharding ------------------------------------------------------

@@ -43,6 +43,7 @@ class Trainer:
     def __init__(self, exp: Experiment, continue_train: bool = False):
         assert exp.is_train
         self.exp = exp
+        self.continue_train = continue_train
         self.system = SRSystem(exp)
 
         self.mesh = None
@@ -56,17 +57,6 @@ class Trainer:
                     f"devices: mesh n_devices={exp.mesh.n_devices} but "
                     f"{len(jax.devices())} devices across "
                     f"{jax.process_count()} processes")
-            # tensor-sharded params cannot feed the per-host eval sweep
-            # (host_local_variables raises) — fail at startup, not at the
-            # first eval trigger hours into a pod run
-            if (not exp.mesh.spatial and exp.mesh.model_axis > 1
-                    and exp.train.evaluation_freq > 0):
-                raise ValueError(
-                    "multi-process tensor-parallel training cannot run "
-                    "the in-training eval sweep (params are model-"
-                    "sharded): use --partition spatial / pure dp, or "
-                    "disable in-training eval (evaluation_freq=0) and "
-                    "evaluate offline with evaluate.py")
         if exp.mesh.n_devices > 1:
             self.mesh = make_mesh(exp.mesh)
 
@@ -131,9 +121,10 @@ class Trainer:
     def eval_variables(self) -> SystemVariables:
         """Variables for the per-host eval sweep: the evaluator's jits take
         host-local batches (each host sweeps its loader stripe), so on
-        multi-process runs the globally-replicated params are pulled to
-        host-local copies first (global-mesh arrays mixed with local
-        inputs fail at dispatch)."""
+        multi-process runs the params are pulled to host-local copies
+        first (global-mesh arrays mixed with local inputs fail at
+        dispatch).  Tensor-sharded params are all-gathered inside
+        host_local_variables — one replicating jit per eval trigger."""
         v = self.variables()
         if jax.process_count() > 1:
             from deepsee_tpu.parallel import host_local_variables
@@ -166,7 +157,12 @@ class Trainer:
                 (len(dataloader.dataset) // jax.process_count())
                 // dataloader.batch_size)
 
-        counter = IterationCounter(exp, steps_per_epoch * tc.batch_size)
+        # continue_train resumes the epoch counter from iter.txt — without
+        # it a resumed run restarts at epoch 1 and set_epoch_lr silently
+        # re-applies the UNdecayed lr for the rest of training
+        # (trainer_manager.py:76-96 + iter_counter.py:30-47 interplay)
+        counter = IterationCounter(exp, steps_per_epoch * tc.batch_size,
+                                   continue_train=self.continue_train)
         visualizer = Visualizer(exp)
         evaluator = None  # built lazily at the first evaluation trigger
         if val_loader is None and tc.evaluate_val_set:
