@@ -14,21 +14,33 @@ micro-batching with padding.
 
 API (JSON over HTTP, stdlib-only on both ends):
 
-  GET  /healthz   -> {"status": "ok", "model": ..., "stats": {...}}
-  GET  /manifest  -> the artifact's manifest.json
+  GET  /healthz   -> {"status": "ok", "model": ..., "stats": {...},
+                      "programs": per-program stats, "models": [aliases]}
+  GET  /manifest  -> the DEFAULT artifact's manifest.json
+  GET  /v1/models -> {alias: manifest} for every loaded artifact
   POST /v1/super_resolve
-       body: {"image_lr": <b64 PNG, start_size RGB>,
+       body: {"model": "<alias>" (optional; default = first artifact —
+                  one daemon can serve several artifacts, e.g. bf16 + int8
+                  of the same model or two batch shapes, each alias its
+                  own micro-batched program),
+              "image_lr": <b64 PNG, start_size RGB>,
               "label":    <b64 PNG, crop_size, values 0..18 or 255>,
               "guiding_image"/"guiding_label": same encodings (guided
                   models only; required there),
               "style": [[...]] (label_nc x regional_style_size) — when
                   present the `styled` program renders with this style
-                  matrix instead of encoding one (the manipulation path)}
-       resp: {"image": <b64 PNG, crop_size RGB>,
+                  matrix instead of encoding one (the manipulation path),
+              "encoding": "png" (default) | "raw" — with "raw" every
+                  image field is b64 of raw uint8 bytes (RGB HxWx3 for
+                  images, HxW for labels) and the response image comes
+                  back raw too.  PNG's zlib passes are pure host CPU and
+                  dominate HTTP throughput on small hosts; callers that
+                  already hold pixel buffers should send raw}
+       resp: {"image": <b64 PNG or raw, crop_size RGB>,
               "style": [[...]]}   (style omitted on the styled path)
 
 Images follow the repo conventions (demo.py:45-61): RGB u8 -> /255*2-1;
-labels NEAREST-resized, 255 -> label_nc.
+labels NEAREST-resized (png) with 255 -> label_nc.
 
 Batching: requests are queued with a Future; the device thread takes the
 oldest request, waits up to --batch_window_ms for more requests OF THE
@@ -94,6 +106,43 @@ def encode_image_b64(img: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+# "raw" wire encoding: b64 of raw uint8 bytes, no PNG codec.  PNG encode +
+# decode is pure host CPU (zlib) and dominates end-to-end HTTP throughput
+# on small hosts; production callers that already hold pixel buffers
+# should send raw (pass {"encoding": "raw"}).  Same value conventions as
+# the PNG path: images are uint8 RGB (u8/255*2-1 on decode), labels uint8
+# with 255 -> label_nc.
+
+def decode_image_raw_b64(b64: str, size: int) -> np.ndarray:
+    """b64 raw uint8 RGB (size*size*3 bytes) -> (1,size,size,3) f32."""
+    buf = np.frombuffer(base64.b64decode(b64), np.uint8)
+    if buf.size != size * size * 3:
+        raise ValueError(
+            f"raw image payload is {buf.size} bytes, want "
+            f"{size * size * 3} ({size}x{size}x3 uint8 RGB)")
+    arr = buf.reshape(size, size, 3).astype(np.float32) / 255.0 * 2.0 - 1.0
+    return arr[None]
+
+
+def decode_label_raw_b64(b64: str, size: int, label_nc: int) -> np.ndarray:
+    """b64 raw uint8 (size*size bytes) -> (1,size,size) int32."""
+    buf = np.frombuffer(base64.b64decode(b64), np.uint8)
+    if buf.size != size * size:
+        raise ValueError(
+            f"raw label payload is {buf.size} bytes, want "
+            f"{size * size} ({size}x{size} uint8)")
+    arr = buf.reshape(size, size).astype(np.int32)
+    return np.where(arr == 255, label_nc, arr)[None]
+
+
+def encode_image_raw_b64(img: np.ndarray) -> str:
+    """(H, W, 3) float in [-1, 1] -> b64 raw uint8 RGB bytes."""
+    from deepsee_tpu.utils.images import tensor2im
+
+    return base64.b64encode(
+        np.ascontiguousarray(tensor2im(img)).tobytes()).decode("ascii")
+
+
 # -- micro-batcher --------------------------------------------------------
 
 class _Request:
@@ -123,6 +172,9 @@ class MicroBatcher:
         self._stop = False
         self.stats = {"requests": 0, "batches": 0, "batched_samples": 0,
                       "errors": 0}
+        self.per_program = {name: {"requests": 0, "batches": 0,
+                                   "batched_samples": 0, "errors": 0}
+                            for name in programs}
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="deepsee-device-worker")
         self._thread.start()
@@ -136,6 +188,7 @@ class MicroBatcher:
                 raise RuntimeError("server shutting down")
             self._pending.append(req)
             self.stats["requests"] += 1
+            self.per_program[program]["requests"] += 1
             self._cv.notify()
         return req.future
 
@@ -205,9 +258,13 @@ class MicroBatcher:
                 with self._cv:  # stats are read/reset from handler threads
                     self.stats["batches"] += 1
                     self.stats["batched_samples"] += n
+                    pp = self.per_program[batch[0].program]
+                    pp["batches"] += 1
+                    pp["batched_samples"] += n
             except Exception as e:  # noqa: BLE001 — fail the whole batch
                 with self._cv:
                     self.stats["errors"] += n
+                    self.per_program[batch[0].program]["errors"] += n
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
@@ -216,10 +273,17 @@ class MicroBatcher:
         with self._cv:
             return dict(self.stats)
 
+    def program_stats_snapshot(self) -> Dict[str, Dict[str, int]]:
+        with self._cv:
+            return {k: dict(v) for k, v in self.per_program.items()}
+
     def reset_stats(self) -> None:
         with self._cv:
             for k in self.stats:
                 self.stats[k] = 0
+            for v in self.per_program.values():
+                for k in v:
+                    v[k] = 0
 
 
 # -- the HTTP server ------------------------------------------------------
@@ -229,9 +293,17 @@ class BadRequest(ValueError):
 
 
 class ServingServer:
-    """Loads an artifact dir and serves it; start()/stop() for embedding."""
+    """Loads one or more artifact dirs and serves them; start()/stop() for
+    embedding.
 
-    def __init__(self, artifact_dir: str, port: int = 8000,
+    `artifact_dir` accepts a single directory (the v1 contract), or a
+    sequence of directories / "alias=directory" entries: ONE daemon then
+    serves N artifacts (bf16 next to int8, two batch shapes, different
+    models) with one device-owner thread — requests route by the optional
+    "model" field and each (alias, program) pair micro-batches
+    independently.  The first entry is the default model."""
+
+    def __init__(self, artifact_dir, port: int = 8000,
                  host: str = "127.0.0.1", batch_window_ms: float = 5.0,
                  request_timeout_s: float = 600.0):
         # default timeout covers the first-call backend compile: on a
@@ -239,13 +311,27 @@ class ServingServer:
         # queued request waits behind the compiling one
         from deepsee_tpu.serve import load_serving
 
-        with open(os.path.join(artifact_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
-        bs = int(self.manifest["batch_size"])
-        programs = {
-            "end_to_end": (load_serving(artifact_dir, "end_to_end"), bs),
-            "styled": (load_serving(artifact_dir, "styled"), bs),
-        }
+        entries = ([artifact_dir] if isinstance(artifact_dir, str)
+                   else list(artifact_dir))
+        if not entries:
+            raise ValueError("need at least one artifact directory")
+        self.manifests: Dict[str, dict] = {}
+        programs: Dict[str, Tuple[Callable, int]] = {}
+        for entry in entries:
+            alias, _, d = entry.rpartition("=")
+            alias = alias or os.path.basename(os.path.normpath(d))
+            if alias in self.manifests:
+                raise ValueError(f"duplicate artifact alias {alias!r} — "
+                                 "disambiguate with alias=dir")
+            with open(os.path.join(d, "manifest.json")) as f:
+                self.manifests[alias] = json.load(f)
+            bs = int(self.manifests[alias]["batch_size"])
+            for prog in ("end_to_end", "styled"):
+                programs[f"{alias}/{prog}"] = (load_serving(d, prog), bs)
+        self.default_model = next(iter(self.manifests))
+        # plain attribute (not a property) for the default manifest: the
+        # single-artifact contract, and tests monkey-patch it directly
+        self.manifest = self.manifests[self.default_model]
         self.batcher = MicroBatcher(programs, batch_window_ms)
         self.request_timeout_s = request_timeout_s
         self._httpd = ThreadingHTTPServer((host, port), self._handler_cls())
@@ -281,13 +367,40 @@ class ServingServer:
 
     # -- request handling -------------------------------------------------
 
+    def _resolve_model(self, body: dict) -> str:
+        alias = body.get("model", self.default_model)
+        if not isinstance(alias, str) or alias not in self.manifests:
+            raise BadRequest(
+                f"unknown model {alias!r}; available: "
+                f"{sorted(self.manifests)}")
+        return alias
+
+    def _model_manifest(self, alias: str) -> dict:
+        # the default model reads through self.manifest so embedders/tests
+        # that patch the attribute keep working
+        return self.manifest if alias == self.default_model \
+            else self.manifests[alias]
+
+    @staticmethod
+    def _encoding(body: dict) -> str:
+        enc = body.get("encoding", "png")
+        if enc not in ("png", "raw"):
+            raise BadRequest(
+                f"unknown encoding {enc!r}; use 'png' or 'raw'")
+        return enc
+
     def _parse_request(self, body: dict
                        ) -> Tuple[str, Tuple[np.ndarray, ...]]:
-        m = self.manifest
+        alias = self._resolve_model(body)
+        m = self._model_manifest(alias)
         crop, start, nc = m["crop_size"], m["start_size"], m["label_nc"]
+        if self._encoding(body) == "raw":
+            dec_img, dec_lab = decode_image_raw_b64, decode_label_raw_b64
+        else:
+            dec_img, dec_lab = decode_image_b64, decode_label_b64
         try:
-            image_lr = decode_image_b64(body["image_lr"], start)
-            label = decode_label_b64(body["label"], crop, nc)
+            image_lr = dec_img(body["image_lr"], start)
+            label = dec_lab(body["label"], crop, nc)
         except KeyError as e:
             raise BadRequest(f"missing required field {e}") from e
         except Exception as e:
@@ -299,26 +412,28 @@ class ServingServer:
             if style.shape != want:
                 raise BadRequest(
                     f"style shape {style.shape} != {want}")
-            return "styled", (image_lr, label, style[None])
+            return f"{alias}/styled", (image_lr, label, style[None])
 
         if m["guiding_style_image"]:
             try:
-                g_img = decode_image_b64(body["guiding_image"], crop)
-                g_lab = decode_label_b64(body["guiding_label"], crop, nc)
+                g_img = dec_img(body["guiding_image"], crop)
+                g_lab = dec_lab(body["guiding_label"], crop, nc)
             except KeyError as e:
                 raise BadRequest(
                     f"guided model: missing field {e}") from e
             except Exception as e:
                 raise BadRequest(f"undecodable guiding input: {e}") from e
-            return "end_to_end", (image_lr, label, g_img, g_lab)
-        return "end_to_end", (image_lr, label)
+            return f"{alias}/end_to_end", (image_lr, label, g_img, g_lab)
+        return f"{alias}/end_to_end", (image_lr, label)
 
     def handle_super_resolve(self, body: dict) -> dict:
         program, args = self._parse_request(body)
         fut = self.batcher.submit(program, args)
         out = fut.result(timeout=self.request_timeout_s)
-        resp = {"image": encode_image_b64(out[0])}
-        if program == "end_to_end":
+        enc = (encode_image_raw_b64 if self._encoding(body) == "raw"
+               else encode_image_b64)
+        resp = {"image": enc(out[0])}
+        if program.endswith("/end_to_end"):
             resp["style"] = np.asarray(out[1], np.float32).tolist()
         return resp
 
@@ -329,7 +444,9 @@ class ServingServer:
                   / self.manifest["batch_size"], 3))
         return {"status": "ok", "model": self.manifest["name"],
                 "uptime_s": round(time.time() - self.t_start, 1),
-                "trace_batch": self.manifest["batch_size"], "stats": s}
+                "trace_batch": self.manifest["batch_size"], "stats": s,
+                "models": sorted(self.manifests),
+                "programs": self.batcher.program_stats_snapshot()}
 
     def _handler_cls(self):
         server = self
@@ -353,6 +470,10 @@ class ServingServer:
                     self._send(200, server.health())
                 elif self.path == "/manifest":
                     self._send(200, server.manifest)
+                elif self.path == "/v1/models":
+                    self._send(200, {
+                        a: (server._model_manifest(a))
+                        for a in server.manifests})
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 
@@ -383,9 +504,12 @@ class ServingServer:
 
 def main(argv: Optional[Sequence[str]] = None):
     p = argparse.ArgumentParser(
-        description="Serve an exported DeepSEE artifact over HTTP")
-    p.add_argument("--artifact", required=True,
-                   help="directory from scripts/export_serving.py")
+        description="Serve exported DeepSEE artifacts over HTTP")
+    p.add_argument("--artifact", required=True, action="append",
+                   help="artifact directory from scripts/export_serving.py; "
+                        "repeatable, optionally 'alias=dir' (e.g. "
+                        "--artifact bf16=dir1 --artifact int8=dir2); the "
+                        "first is the default model")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--batch_window_ms", type=float, default=5.0,
@@ -399,10 +523,12 @@ def main(argv: Optional[Sequence[str]] = None):
     srv = ServingServer(args.artifact, port=args.port, host=args.host,
                         batch_window_ms=args.batch_window_ms,
                         request_timeout_s=args.request_timeout_s)
-    m = srv.manifest
-    print(f"serving {m['name']} (batch {m['batch_size']}, "
-          f"{'guided' if m['guiding_style_image'] else 'independent'}) "
-          f"on http://{args.host}:{srv.port}")
+    for alias in srv.manifests:
+        m = srv._model_manifest(alias)
+        tag = " (default)" if alias == srv.default_model else ""
+        print(f"serving {alias}{tag}: {m['name']} (batch {m['batch_size']}, "
+              f"{'guided' if m['guiding_style_image'] else 'independent'}) "
+              f"on http://{args.host}:{srv.port}")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

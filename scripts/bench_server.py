@@ -12,6 +12,11 @@ bench, scripts/bench_loader.py).
 
   python scripts/bench_server.py --name 8x_independent_256x256 \
       --trace_batch 8 --clients 16 --n_requests 128 [--int8]
+
+`--encoding raw` benches the raw-tensor wire mode (b64 of uint8 bytes,
+no PNG) — the production setting for callers that already hold pixel
+buffers, and the honest view of the serving stack when the bench host's
+CPU can't also pay the PNG zlib passes.
 """
 
 from __future__ import annotations
@@ -53,6 +58,8 @@ def main():
     p.add_argument("--int8", action="store_true")
     p.add_argument("--platform", default="",
                    help="export platform (default: the default backend)")
+    p.add_argument("--encoding", default="png", choices=("png", "raw"),
+                   help="wire format for images (raw = b64 uint8 bytes)")
     args = p.parse_args()
 
     import jax
@@ -102,15 +109,20 @@ def main():
 
     rng = np.random.RandomState(0)
     guided = cfg.guiding_style_image
+    enc = (_png_b64 if args.encoding == "png" else
+           lambda a: base64.b64encode(
+               np.ascontiguousarray(a).tobytes()).decode("ascii"))
     bodies = []
     for _ in range(8):  # a small pool of distinct payloads
-        b = {"image_lr": _png_b64(rng.randint(
+        b = {"image_lr": enc(rng.randint(
                  0, 256, (cfg.start_size, cfg.start_size, 3), np.uint8)),
-             "label": _png_b64(rng.randint(
+             "label": enc(rng.randint(
                  0, cfg.label_nc, (cfg.crop_size, cfg.crop_size)
              ).astype(np.uint8))}
+        if args.encoding != "png":
+            b["encoding"] = args.encoding
         if guided:
-            b["guiding_image"] = _png_b64(rng.randint(
+            b["guiding_image"] = enc(rng.randint(
                 0, 256, (cfg.crop_size, cfg.crop_size, 3), np.uint8))
             b["guiding_label"] = b["label"]
         bodies.append(json.dumps(b).encode())
@@ -150,6 +162,7 @@ def main():
         "n_requests": args.n_requests,
         "quantize": "int8" if args.int8 else "bf16",
         "platform": platform,
+        "encoding": args.encoding,
         "latency_ms": {
             "p50": round(float(lat[len(lat) // 2]) * 1e3, 1),
             "p90": round(float(lat[int(len(lat) * 0.9)]) * 1e3, 1),

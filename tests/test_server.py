@@ -229,6 +229,8 @@ def test_guided_parse_requires_guiding_fields(artifact):
     srv = ServingServer.__new__(ServingServer)  # parser-only instance
     srv.manifest = dict(json.load(open(d + "/manifest.json")),
                         guiding_style_image=True)
+    srv.manifests = {"m": srv.manifest}
+    srv.default_model = "m"
     cfg = exp.model
 
     body = _request_payload(cfg, seed=3)
@@ -239,14 +241,14 @@ def test_guided_parse_requires_guiding_fields(artifact):
 
     body = _request_payload(cfg, seed=3, guided=True)
     program, args = srv._parse_request(body)
-    assert program == "end_to_end" and len(args) == 4
+    assert program == "m/end_to_end" and len(args) == 4
     assert args[2].shape == (1, cfg.crop_size, cfg.crop_size, 3)
 
     # style present routes to styled regardless of guidance
     body["style"] = np.zeros(
         (cfg.label_nc, cfg.regional_style_size), np.float32).tolist()
     program, args = srv._parse_request(body)
-    assert program == "styled" and len(args) == 3
+    assert program == "m/styled" and len(args) == 3
 
 
 def test_stop_before_start_does_not_hang(artifact):
@@ -392,5 +394,113 @@ def test_guided_artifact_end_to_end(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(resp["style"], np.float32),
                 np.asarray(style)[0], rtol=1e-5, atol=1e-6)
+    finally:
+        srv.stop()
+
+
+def test_raw_encoding_matches_png(server, artifact):
+    """`"encoding": "raw"` (b64 uint8 bytes, no PNG codec) must produce
+    the identical result to the PNG wire format for the same pixels —
+    both quantize through tensor2im and scale u8 -> [-1,1] the same way.
+    Malformed raw payloads and unknown encodings are 400s."""
+    d, exp = artifact
+    cfg = exp.model
+    rng = np.random.RandomState(31)
+    lr_u8 = rng.randint(0, 256, (cfg.start_size, cfg.start_size, 3),
+                        dtype=np.uint8)
+    lab_u8 = rng.randint(0, cfg.label_nc,
+                         (cfg.crop_size, cfg.crop_size), dtype=np.uint8)
+
+    png_body = {"image_lr": _png_b64(lr_u8), "label": _png_b64(lab_u8)}
+    raw_body = {
+        "encoding": "raw",
+        "image_lr": base64.b64encode(lr_u8.tobytes()).decode("ascii"),
+        "label": base64.b64encode(lab_u8.tobytes()).decode("ascii"),
+    }
+    status, png_resp = _post(server.port, "/v1/super_resolve", png_body)
+    assert status == 200, png_resp
+    status, raw_resp = _post(server.port, "/v1/super_resolve", raw_body)
+    assert status == 200, raw_resp
+
+    # raw response: b64 of crop*crop*3 uint8 bytes, equal to the PNG
+    # response's decoded pixels
+    raw_img = np.frombuffer(base64.b64decode(raw_resp["image"]),
+                            np.uint8)
+    assert raw_img.size == cfg.crop_size * cfg.crop_size * 3
+    raw_img = raw_img.reshape(cfg.crop_size, cfg.crop_size, 3)
+    png_img = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(png_resp["image"]))))
+    np.testing.assert_array_equal(raw_img, png_img)
+    np.testing.assert_allclose(
+        np.asarray(raw_resp["style"], np.float32),
+        np.asarray(png_resp["style"], np.float32), rtol=1e-6)
+
+    status, resp = _post(server.port, "/v1/super_resolve",
+                         dict(raw_body, encoding="jpeg2000"))
+    assert status == 400 and "unknown encoding" in resp["error"]
+    bad = dict(raw_body,
+               image_lr=base64.b64encode(b"\x00" * 7).decode("ascii"))
+    status, resp = _post(server.port, "/v1/super_resolve", bad)
+    assert status == 400 and "undecodable input" in resp["error"]
+
+
+def test_multi_artifact_daemon(artifact, tmp_path):
+    """One daemon, two artifacts (different weights): requests route by
+    the "model" field, each (alias, program) micro-batches independently,
+    /v1/models lists both manifests, /healthz reports per-program stats,
+    and an unknown alias is a 400."""
+    d, exp = artifact
+    cfg = exp.model
+
+    # second artifact: same architecture, different init -> different output
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(2))
+    blobs = export_serving(exp, variables, batch_size=2, platforms=("cpu",))
+    save_serving(str(tmp_path), exp, blobs, batch_size=2, platforms=("cpu",))
+
+    srv = ServingServer([f"main={d}", f"alt={tmp_path}"], port=0,
+                        batch_window_ms=5.0)
+    srv.start()
+    try:
+        status, models = _get(srv.port, "/v1/models")
+        assert status == 200 and sorted(models) == ["alt", "main"]
+        assert models["main"]["batch_size"] == 2
+
+        body = _request_payload(cfg, seed=21)
+        status, default_resp = _post(srv.port, "/v1/super_resolve", body)
+        assert status == 200, default_resp
+        status, main_resp = _post(srv.port, "/v1/super_resolve",
+                                  dict(body, model="main"))
+        assert status == 200, main_resp
+        status, alt_resp = _post(srv.port, "/v1/super_resolve",
+                                 dict(body, model="alt"))
+        assert status == 200, alt_resp
+
+        # default routes to the first artifact; alt weights really differ
+        assert default_resp["image"] == main_resp["image"]
+        assert alt_resp["image"] != main_resp["image"]
+
+        # each model's response equals its own direct program output
+        from deepsee_tpu.utils.images import tensor2im
+        for adir, resp in ((d, main_resp), (str(tmp_path), alt_resp)):
+            want_fake, want_style = _expected_end_to_end(adir, exp, body)
+            got = decode_image_b64(resp["image"], cfg.crop_size)[0]
+            np.testing.assert_array_equal(tensor2im(got),
+                                          tensor2im(want_fake))
+            np.testing.assert_allclose(
+                np.asarray(resp["style"], np.float32), want_style,
+                rtol=1e-5, atol=1e-6)
+
+        status, resp = _post(srv.port, "/v1/super_resolve",
+                             dict(body, model="nope"))
+        assert status == 400 and "unknown model" in resp["error"]
+
+        status, health = _get(srv.port, "/healthz")
+        assert status == 200
+        progs = health["programs"]
+        assert progs["main/end_to_end"]["requests"] == 2
+        assert progs["alt/end_to_end"]["requests"] == 1
+        assert progs["alt/styled"]["requests"] == 0
+        assert health["models"] == ["alt", "main"]
     finally:
         srv.stop()
