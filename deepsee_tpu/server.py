@@ -38,6 +38,13 @@ API (JSON over HTTP, stdlib-only on both ends):
                   already hold pixel buffers should send raw}
        resp: {"image": <b64 PNG or raw, crop_size RGB>,
               "style": [[...]]}   (style omitted on the styled path)
+  POST /v1/super_resolve_bin
+       application/octet-stream, no JSON/base64 at all: concatenated raw
+       tensors in, raw u8 RGB (+ trailing f32-LE style) out — see the
+       "binary protocol" section in ServingServer.  Routing via the
+       X-DS-Model / X-DS-Style headers; the cheapest wire for
+       production callers (base64 alone costs 1.33x bytes + a host
+       CPU pass each way).
 
 Images follow the repo conventions (demo.py:45-61): RGB u8 -> /255*2-1;
 labels NEAREST-resized (png) with 255 -> label_nc.
@@ -113,9 +120,8 @@ def encode_image_b64(img: np.ndarray) -> str:
 # the PNG path: images are uint8 RGB (u8/255*2-1 on decode), labels uint8
 # with 255 -> label_nc.
 
-def decode_image_raw_b64(b64: str, size: int) -> np.ndarray:
-    """b64 raw uint8 RGB (size*size*3 bytes) -> (1,size,size,3) f32."""
-    buf = np.frombuffer(base64.b64decode(b64), np.uint8)
+def image_from_u8(buf: np.ndarray, size: int) -> np.ndarray:
+    """flat uint8 RGB (size*size*3 bytes) -> (1,size,size,3) f32."""
     if buf.size != size * size * 3:
         raise ValueError(
             f"raw image payload is {buf.size} bytes, want "
@@ -124,15 +130,26 @@ def decode_image_raw_b64(b64: str, size: int) -> np.ndarray:
     return arr[None]
 
 
-def decode_label_raw_b64(b64: str, size: int, label_nc: int) -> np.ndarray:
-    """b64 raw uint8 (size*size bytes) -> (1,size,size) int32."""
-    buf = np.frombuffer(base64.b64decode(b64), np.uint8)
+def label_from_u8(buf: np.ndarray, size: int, label_nc: int) -> np.ndarray:
+    """flat uint8 (size*size bytes) -> (1,size,size) int32; 255->label_nc."""
     if buf.size != size * size:
         raise ValueError(
             f"raw label payload is {buf.size} bytes, want "
             f"{size * size} ({size}x{size} uint8)")
     arr = buf.reshape(size, size).astype(np.int32)
     return np.where(arr == 255, label_nc, arr)[None]
+
+
+def decode_image_raw_b64(b64: str, size: int) -> np.ndarray:
+    """b64 raw uint8 RGB (size*size*3 bytes) -> (1,size,size,3) f32."""
+    return image_from_u8(np.frombuffer(base64.b64decode(b64), np.uint8),
+                         size)
+
+
+def decode_label_raw_b64(b64: str, size: int, label_nc: int) -> np.ndarray:
+    """b64 raw uint8 (size*size bytes) -> (1,size,size) int32."""
+    return label_from_u8(np.frombuffer(base64.b64decode(b64), np.uint8),
+                         size, label_nc)
 
 
 def encode_image_raw_b64(img: np.ndarray) -> str:
@@ -437,6 +454,79 @@ class ServingServer:
             resp["style"] = np.asarray(out[1], np.float32).tolist()
         return resp
 
+    # -- binary protocol ----------------------------------------------------
+    # /v1/super_resolve_bin skips JSON AND base64: the body is the raw
+    # tensors concatenated (image_lr u8 start²·3 | label u8 crop² |
+    # guided models: guiding_image u8 crop²·3 + guiding_label u8 crop² |
+    # style f32-LE label_nc·rss, present iff the X-DS-Style: 1 header is
+    # set — style routes to the `styled` program and supersedes guidance,
+    # same as the JSON path).  Routing metadata rides headers
+    # (X-DS-Model).  The response body is the upscale's raw u8 RGB bytes
+    # with the style matrix (f32-LE) appended on the end_to_end path;
+    # X-DS-Style-Bytes carries the split point.  base64 costs 1.33x the
+    # bytes plus an encode+decode pass on both ends — on codec-bound
+    # hosts this path is the serving stack's true ceiling.
+
+    def _parse_request_bin(self, headers, raw: bytes
+                           ) -> Tuple[str, Tuple[np.ndarray, ...]]:
+        alias = headers.get("X-DS-Model", self.default_model)
+        if alias not in self.manifests:
+            raise BadRequest(
+                f"unknown model {alias!r}; available: "
+                f"{sorted(self.manifests)}")
+        m = self._model_manifest(alias)
+        crop, start, nc = m["crop_size"], m["start_size"], m["label_nc"]
+        rss = m["regional_style_size"]
+        styled = headers.get("X-DS-Style", "0") == "1"
+        guided = bool(m["guiding_style_image"]) and not styled
+
+        img_n, lab_n = start * start * 3, crop * crop
+        g_img_n = crop * crop * 3 if guided else 0
+        style_n = nc * rss * 4 if styled else 0
+        want = img_n + lab_n + (g_img_n + lab_n if guided else 0) + style_n
+        if len(raw) != want:
+            raise BadRequest(
+                f"binary body is {len(raw)} bytes, want {want} "
+                f"(image_lr {img_n} + label {lab_n}"
+                + (f" + guiding_image {g_img_n} + guiding_label {lab_n}"
+                   if guided else "")
+                + (f" + style {style_n}" if styled else "") + ")")
+
+        buf = np.frombuffer(raw, np.uint8)
+        pos = 0
+
+        def take(n):
+            nonlocal pos
+            out = buf[pos:pos + n]
+            pos += n
+            return out
+
+        image_lr = image_from_u8(take(img_n), start)
+        label = label_from_u8(take(lab_n), crop, nc)
+        if styled:
+            style = np.frombuffer(take(style_n).tobytes(), "<f4")
+            return f"{alias}/styled", (image_lr, label,
+                                       style.reshape(1, nc, rss))
+        if guided:
+            g_img = image_from_u8(take(g_img_n), crop)
+            g_lab = label_from_u8(take(lab_n), crop, nc)
+            return f"{alias}/end_to_end", (image_lr, label, g_img, g_lab)
+        return f"{alias}/end_to_end", (image_lr, label)
+
+    def handle_super_resolve_bin(self, headers, raw: bytes
+                                 ) -> Tuple[bytes, int]:
+        """-> (response body, style byte count appended at the tail)."""
+        from deepsee_tpu.utils.images import tensor2im
+
+        program, args = self._parse_request_bin(headers, raw)
+        fut = self.batcher.submit(program, args)
+        out = fut.result(timeout=self.request_timeout_s)
+        img = np.ascontiguousarray(tensor2im(out[0])).tobytes()
+        if program.endswith("/end_to_end"):
+            style = np.asarray(out[1], "<f4").tobytes()
+            return img + style, len(style)
+        return img, 0
+
     def health(self) -> dict:
         s = self.batcher.stats_snapshot()
         s["batch_fill"] = (
@@ -478,7 +568,8 @@ class ServingServer:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/v1/super_resolve":
+                if self.path not in ("/v1/super_resolve",
+                                     "/v1/super_resolve_bin"):
                     self._send(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -490,7 +581,19 @@ class ServingServer:
                             "error": f"body {n} bytes exceeds the "
                                      f"{MAX_BODY_BYTES} byte limit"})
                         return
-                    body = json.loads(self.rfile.read(n))
+                    raw = self.rfile.read(n)
+                    if self.path == "/v1/super_resolve_bin":
+                        blob, style_n = server.handle_super_resolve_bin(
+                            self.headers, raw)
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "application/octet-stream")
+                        self.send_header("Content-Length", str(len(blob)))
+                        self.send_header("X-DS-Style-Bytes", str(style_n))
+                        self.end_headers()
+                        self.wfile.write(blob)
+                        return
+                    body = json.loads(raw)
                     self._send(200, server.handle_super_resolve(body))
                 except BadRequest as e:
                     self._send(400, {"error": str(e)})

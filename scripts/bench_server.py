@@ -16,7 +16,9 @@ bench, scripts/bench_loader.py).
 `--encoding raw` benches the raw-tensor wire mode (b64 of uint8 bytes,
 no PNG) — the production setting for callers that already hold pixel
 buffers, and the honest view of the serving stack when the bench host's
-CPU can't also pay the PNG zlib passes.
+CPU can't also pay the PNG zlib passes.  `--encoding bin` benches
+/v1/super_resolve_bin (octet-stream, no JSON/base64 at all) — the
+cheapest wire the daemon speaks.
 """
 
 from __future__ import annotations
@@ -58,8 +60,10 @@ def main():
     p.add_argument("--int8", action="store_true")
     p.add_argument("--platform", default="",
                    help="export platform (default: the default backend)")
-    p.add_argument("--encoding", default="png", choices=("png", "raw"),
-                   help="wire format for images (raw = b64 uint8 bytes)")
+    p.add_argument("--encoding", default="png",
+                   choices=("png", "raw", "bin"),
+                   help="wire format (raw = b64 uint8 bytes in JSON; "
+                        "bin = /v1/super_resolve_bin octet-stream)")
     args = p.parse_args()
 
     import jax
@@ -105,7 +109,9 @@ def main():
 
     srv = ServingServer(tmp, port=0, batch_window_ms=args.batch_window_ms)
     srv.start()
-    url = f"http://127.0.0.1:{srv.port}/v1/super_resolve"
+    binary = args.encoding == "bin"
+    url = (f"http://127.0.0.1:{srv.port}/v1/super_resolve_bin" if binary
+           else f"http://127.0.0.1:{srv.port}/v1/super_resolve")
 
     rng = np.random.RandomState(0)
     guided = cfg.guiding_style_image
@@ -114,26 +120,38 @@ def main():
                np.ascontiguousarray(a).tobytes()).decode("ascii"))
     bodies = []
     for _ in range(8):  # a small pool of distinct payloads
-        b = {"image_lr": enc(rng.randint(
-                 0, 256, (cfg.start_size, cfg.start_size, 3), np.uint8)),
-             "label": enc(rng.randint(
-                 0, cfg.label_nc, (cfg.crop_size, cfg.crop_size)
-             ).astype(np.uint8))}
+        lr = rng.randint(0, 256, (cfg.start_size, cfg.start_size, 3),
+                         dtype=np.uint8)
+        lab = rng.randint(0, cfg.label_nc,
+                          (cfg.crop_size, cfg.crop_size)).astype(np.uint8)
+        g_img = (rng.randint(0, 256, (cfg.crop_size, cfg.crop_size, 3),
+                             dtype=np.uint8) if guided else None)
+        if binary:
+            raw = lr.tobytes() + lab.tobytes()
+            if guided:
+                raw += g_img.tobytes() + lab.tobytes()
+            bodies.append(raw)
+            continue
+        b = {"image_lr": enc(lr), "label": enc(lab)}
         if args.encoding != "png":
             b["encoding"] = args.encoding
         if guided:
-            b["guiding_image"] = enc(rng.randint(
-                0, 256, (cfg.crop_size, cfg.crop_size, 3), np.uint8))
+            b["guiding_image"] = enc(g_img)
             b["guiding_label"] = b["label"]
         bodies.append(json.dumps(b).encode())
+
+    content_type = ("application/octet-stream" if binary
+                    else "application/json")
 
     def call(i: int) -> float:
         t0 = time.perf_counter()
         req = urllib.request.Request(
             url, data=bodies[i % len(bodies)],
-            headers={"Content-Type": "application/json"})
+            headers={"Content-Type": content_type})
         with urllib.request.urlopen(req, timeout=1200) as r:
-            json.loads(r.read())
+            blob = r.read()
+            if not binary:
+                json.loads(blob)
         return time.perf_counter() - t0
 
     print("warmup (first call compiles on the backend)...", flush=True)

@@ -9,6 +9,7 @@ padding relies on: eval-mode norms + no_noise).
 
 import base64
 import concurrent.futures
+import dataclasses
 import io
 import json
 import urllib.request
@@ -502,5 +503,137 @@ def test_multi_artifact_daemon(artifact, tmp_path):
         assert progs["alt/end_to_end"]["requests"] == 1
         assert progs["alt/styled"]["requests"] == 0
         assert health["models"] == ["alt", "main"]
+    finally:
+        srv.stop()
+
+
+def _post_bin(port: int, raw: bytes, headers=None, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/super_resolve_bin", data=raw,
+        headers={"Content-Type": "application/octet-stream",
+                 **(headers or {})})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, r.read(), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_binary_protocol_matches_json(server, artifact):
+    """/v1/super_resolve_bin (no JSON, no base64) must reproduce the JSON
+    path exactly: same quantized image, same style matrix; the styled
+    route via X-DS-Style supersedes guidance like the JSON path; a wrong
+    body length is a 400 naming the expected layout."""
+    d, exp = artifact
+    cfg = exp.model
+    rng = np.random.RandomState(47)
+    lr_u8 = rng.randint(0, 256, (cfg.start_size, cfg.start_size, 3),
+                        dtype=np.uint8)
+    lab_u8 = rng.randint(0, cfg.label_nc,
+                         (cfg.crop_size, cfg.crop_size), dtype=np.uint8)
+
+    json_body = {"image_lr": _png_b64(lr_u8), "label": _png_b64(lab_u8)}
+    status, json_resp = _post(server.port, "/v1/super_resolve", json_body)
+    assert status == 200, json_resp
+
+    status, blob, hdrs = _post_bin(
+        server.port, lr_u8.tobytes() + lab_u8.tobytes())
+    assert status == 200, blob[:300]
+    assert hdrs["Content-Type"] == "application/octet-stream"
+    style_n = int(hdrs["X-DS-Style-Bytes"])
+    img_n = cfg.crop_size * cfg.crop_size * 3
+    assert len(blob) == img_n + style_n
+    bin_img = np.frombuffer(blob[:img_n], np.uint8).reshape(
+        cfg.crop_size, cfg.crop_size, 3)
+    bin_style = np.frombuffer(blob[img_n:], "<f4").reshape(
+        cfg.label_nc, cfg.regional_style_size)
+
+    json_img = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(json_resp["image"]))))
+    np.testing.assert_array_equal(bin_img, json_img)
+    np.testing.assert_allclose(
+        bin_style, np.asarray(json_resp["style"], np.float32),
+        rtol=1e-6, atol=0)
+
+    # styled route: trailing f32-LE style + X-DS-Style: 1; response has
+    # no style tail and equals the JSON styled path
+    style = (rng.randn(cfg.label_nc, cfg.regional_style_size)
+             .astype("<f4") * 0.1)
+    status, blob, hdrs = _post_bin(
+        server.port,
+        lr_u8.tobytes() + lab_u8.tobytes() + style.tobytes(),
+        headers={"X-DS-Style": "1"})
+    assert status == 200, blob[:300]
+    assert int(hdrs["X-DS-Style-Bytes"]) == 0 and len(blob) == img_n
+    status, json_styled = _post(
+        server.port, "/v1/super_resolve",
+        dict(json_body, style=style.astype(np.float32).tolist()))
+    assert status == 200, json_styled
+    json_styled_img = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(json_styled["image"]))))
+    np.testing.assert_array_equal(
+        np.frombuffer(blob, np.uint8).reshape(
+            cfg.crop_size, cfg.crop_size, 3), json_styled_img)
+
+    # wrong length -> 400 that names the expected layout
+    status, blob, _ = _post_bin(server.port, b"\x00" * 7)
+    assert status == 400
+    err = json.loads(blob)["error"]
+    assert "binary body is 7 bytes" in err and "image_lr" in err
+
+    # unknown model alias -> 400
+    status, blob, _ = _post_bin(
+        server.port, lr_u8.tobytes() + lab_u8.tobytes(),
+        headers={"X-DS-Model": "nope"})
+    assert status == 400 and "unknown model" in json.loads(blob)["error"]
+
+
+def test_binary_protocol_guided_layout(tmp_path):
+    """Guided models read guiding_image + guiding_label from the binary
+    body (and the 400 for a short body names the guiding fields)."""
+    exp = tiny_test_experiment(is_train=False)
+    exp = exp.replace(model=dataclasses.replace(
+        exp.model, guiding_style_image=True))
+    system = SRSystem(exp)
+    variables = system.init(jax.random.PRNGKey(0))
+    blobs = export_serving(exp, variables, batch_size=2, platforms=("cpu",))
+    save_serving(str(tmp_path), exp, blobs, batch_size=2,
+                 platforms=("cpu",))
+    cfg = exp.model
+
+    srv = ServingServer(str(tmp_path), port=0, batch_window_ms=5.0)
+    srv.start()
+    try:
+        rng = np.random.RandomState(3)
+        lr_u8 = rng.randint(0, 256, (cfg.start_size, cfg.start_size, 3),
+                            dtype=np.uint8)
+        lab_u8 = rng.randint(0, cfg.label_nc,
+                             (cfg.crop_size, cfg.crop_size), dtype=np.uint8)
+        g_img_u8 = rng.randint(0, 256, (cfg.crop_size, cfg.crop_size, 3),
+                               dtype=np.uint8)
+
+        status, blob, hdrs = _post_bin(
+            srv.port, lr_u8.tobytes() + lab_u8.tobytes()
+            + g_img_u8.tobytes() + lab_u8.tobytes())
+        assert status == 200, blob[:300]
+        img_n = cfg.crop_size * cfg.crop_size * 3
+        assert len(blob) == img_n + int(hdrs["X-DS-Style-Bytes"])
+
+        # equals the JSON guided path on the same pixels
+        body = {"image_lr": _png_b64(lr_u8), "label": _png_b64(lab_u8),
+                "guiding_image": _png_b64(g_img_u8),
+                "guiding_label": _png_b64(lab_u8)}
+        status, json_resp = _post(srv.port, "/v1/super_resolve", body)
+        assert status == 200, json_resp
+        json_img = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(json_resp["image"]))))
+        np.testing.assert_array_equal(
+            np.frombuffer(blob[:img_n], np.uint8).reshape(
+                cfg.crop_size, cfg.crop_size, 3), json_img)
+
+        status, blob, _ = _post_bin(
+            srv.port, lr_u8.tobytes() + lab_u8.tobytes())
+        assert status == 400
+        assert "guiding_image" in json.loads(blob)["error"]
     finally:
         srv.stop()
