@@ -277,6 +277,16 @@ class DataConfig:
     cache_filelist_read: bool = False   # image_folder.py files.list cache
     cache_filelist_write: bool = False
     phase: str = "train"
+    # Native (C++) host codec, deepsee_tpu/native: "auto" uses it when the
+    # prebuilt library loads AND the preprocess mode is in its bit-exact
+    # envelope, silently falling back to PIL otherwise; "on" requires it;
+    # "off" forces PIL.  The codec replicates PIL's resampler exactly
+    # (tests/test_native_codec.py), so this is a speed knob, not a math one.
+    native_codec: str = "auto"
+    # Opt-in approximate JPEG fast path: DCT-scaled decode near the target
+    # size (NOT bit-exact with PIL; ~45 dB vs the exact pipeline).  For
+    # throughput-bound serving/eval sweeps, never for parity runs.
+    native_scaled_decode: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -21,8 +21,7 @@ import numpy as np
 from PIL import Image
 
 from deepsee_tpu.config import DataConfig, Experiment, ModelConfig
-from deepsee_tpu.data.transforms import (apply_image_transform,
-                                         apply_label_transform, get_params)
+from deepsee_tpu.data.transforms import get_params, load_image, load_label
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".tiff", ".webp")
 
@@ -105,16 +104,18 @@ class PairedImageDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         label_path = self.label_paths[index]
         image_path = self.image_paths[index]
-        label = Image.open(label_path)
-        params = get_params(self.data_cfg, self.cfg, label.size, self.rng)
+        # PIL's open is lazy: this parses only the header for the size that
+        # seeds get_params (the rng stream must match the PIL-only path)
+        with Image.open(label_path) as lab_img:
+            label_size = lab_img.size
+        params = get_params(self.data_cfg, self.cfg, label_size, self.rng)
 
         sample = {
-            "label": apply_label_transform(
-                label, self.data_cfg, self.cfg, params, self.is_train,
+            "label": load_label(
+                label_path, self.data_cfg, self.cfg, params, self.is_train,
                 preprocess_mode=self.label_preprocess_mode),
-            "image_hr": apply_image_transform(
-                Image.open(image_path), self.data_cfg, self.cfg, params,
-                self.is_train),
+            "image_hr": load_image(
+                image_path, self.data_cfg, self.cfg, params, self.is_train),
             "path": image_path,
         }
         return self.postprocess(sample, params)
@@ -125,12 +126,11 @@ class PairedImageDataset:
             sample["guiding_image_id"] = gid
             gimg = os.path.join(self.data_cfg.image_dir, f"{gid}.jpg")
             glab = os.path.join(self.data_cfg.label_dir, f"{gid}.png")
-            sample["guiding_image"] = apply_image_transform(
-                Image.open(gimg), self.data_cfg, self.cfg, params,
-                self.is_train)
-            sample["guiding_label"] = apply_label_transform(
-                Image.open(glab), self.data_cfg, self.cfg, params,
-                self.is_train, preprocess_mode=self.label_preprocess_mode)
+            sample["guiding_image"] = load_image(
+                gimg, self.data_cfg, self.cfg, params, self.is_train)
+            sample["guiding_label"] = load_label(
+                glab, self.data_cfg, self.cfg, params, self.is_train,
+                preprocess_mode=self.label_preprocess_mode)
         return sample
 
     def sample_guiding_id(self, path: str) -> str:

@@ -122,3 +122,93 @@ def apply_label_transform(label: Image.Image, data_cfg: DataConfig,
         arr = arr[..., 0]
     arr[arr == 255] = model_cfg.label_nc
     return arr
+
+
+# ---------------------------------------------------------------------------
+# Native-codec fast path (deepsee_tpu/native): same semantics, fused in C.
+# ---------------------------------------------------------------------------
+
+def _native_plan(data_cfg: DataConfig, model_cfg: ModelConfig,
+                 params: TransformParams, is_train: bool, for_label: bool,
+                 preprocess_mode: Optional[str]):
+    """(DsnOps, (h, w)) mirroring _apply_pil for the modes whose output size
+    is statically known, or None when the mode needs PIL (scale_width /
+    scale_shortside / fixed depend on the decoded image size)."""
+    from deepsee_tpu.native import codec as ncodec
+
+    mode = preprocess_mode or data_cfg.preprocess_mode
+    if ("scale_width" in mode or "scale_shortside" in mode or mode == "fixed"
+            or ("resize" not in mode and "center_crop" not in mode
+                and "crop" not in mode)):
+        return None
+    load, crop = model_cfg.load_size, model_cfg.crop_size
+
+    center_crop = (data_cfg.center_crop_size or 0) if "center_crop" in mode \
+        else 0
+    resize = (load, load) if "resize" in mode else None
+    crop_box = None
+    if "crop" in mode and "center_crop" not in mode:
+        x, y = params.crop_pos
+        crop_box = (x, y, crop, crop)
+        out_hw = (crop, crop)
+    elif resize:
+        out_hw = (load, load)
+    else:
+        out_hw = (center_crop, center_crop)
+    flip = is_train and not data_cfg.no_flip and params.flip
+    if for_label:
+        resample = ncodec.NEAREST
+    else:
+        resample = (ncodec.BILINEAR
+                    if model_cfg.downsampling_method == "bilinear"
+                    else ncodec.BICUBIC)
+    ops = ncodec.make_ops(
+        center_crop=center_crop, resize=resize, crop=crop_box, flip=flip,
+        resample=resample,
+        scaled_decode=(not for_label and data_cfg.native_scaled_decode))
+    return ops, out_hw
+
+
+def _native_mode(data_cfg: DataConfig) -> str:
+    mode = getattr(data_cfg, "native_codec", "auto")
+    if mode == "on":
+        from deepsee_tpu import native
+        if not native.available():
+            raise RuntimeError(
+                "native_codec='on' but libdeepsee_native.so is not built; "
+                "run `make -C deepsee_tpu/native` or use native_codec='auto'")
+    return mode
+
+
+def load_image(path: str, data_cfg: DataConfig, model_cfg: ModelConfig,
+               params: TransformParams, is_train: bool,
+               preprocess_mode: Optional[str] = None) -> np.ndarray:
+    """Decode + transform an image file: native codec when enabled and
+    applicable (bit-exact), PIL otherwise."""
+    if _native_mode(data_cfg) != "off":
+        from deepsee_tpu.native import codec as ncodec
+        plan = _native_plan(data_cfg, model_cfg, params, is_train, False,
+                            preprocess_mode)
+        if plan is not None:
+            arr = ncodec.decode_image(path, plan[0], plan[1])
+            if arr is not None:
+                return arr
+    return apply_image_transform(Image.open(path), data_cfg, model_cfg,
+                                 params, is_train, preprocess_mode)
+
+
+def load_label(path: str, data_cfg: DataConfig, model_cfg: ModelConfig,
+               params: TransformParams, is_train: bool,
+               preprocess_mode: Optional[str] = None) -> np.ndarray:
+    """Decode + transform a label file (NEAREST, 255 -> label_nc)."""
+    if _native_mode(data_cfg) != "off":
+        from deepsee_tpu.native import codec as ncodec
+        plan = _native_plan(data_cfg, model_cfg, params, is_train, True,
+                            preprocess_mode)
+        if plan is not None:
+            arr = ncodec.decode_label(path, plan[0], plan[1],
+                                      model_cfg.label_nc)
+            if arr is not None:
+                return arr
+    return apply_label_transform(Image.open(path), data_cfg, model_cfg,
+                                 params, is_train, preprocess_mode)

@@ -81,35 +81,80 @@ MAX_BODY_BYTES = 64 * 1024 * 1024
 
 
 # -- request payload <-> arrays (demo.py:45-61 conventions) ---------------
+#
+# Each codec tries the native C library (deepsee_tpu/native, bit-exact with
+# the PIL path — tests/test_native_codec.py) and falls back to PIL when it
+# isn't built or the stream is outside its envelope.  PNG encode level is a
+# process-wide knob (--png_level): levels <= 2 skip zlib effort + row
+# filtering — the fast serving setting when PNG wire format is required
+# (docs/serving.md measures the codec as the PNG-wire bottleneck).
+
+PNG_ENCODE_LEVEL = 6  # PIL's default; overridden by --png_level
+
+
+def _native_codec():
+    try:
+        from deepsee_tpu import native
+        from deepsee_tpu.native import codec as ncodec
+    except Exception:
+        return None
+    return ncodec if native.available() else None
+
 
 def decode_image_b64(b64: str, size: int) -> np.ndarray:
     """b64 PNG/JPEG -> (1, size, size, 3) float32 in [-1, 1]."""
+    data = base64.b64decode(b64)
+    ncodec = _native_codec()
+    if ncodec is not None:
+        dims = ncodec.probe(data)
+        if dims is not None:
+            ops = ncodec.make_ops(
+                resize=(size, size) if dims != (size, size) else None)
+            arr = ncodec.decode_image(data, ops, (size, size))
+            if arr is not None:
+                return arr[None]
     from PIL import Image
 
     from deepsee_tpu.utils.images import image_to_array
 
-    return image_to_array(
-        Image.open(io.BytesIO(base64.b64decode(b64))), size)
+    return image_to_array(Image.open(io.BytesIO(data)), size)
 
 
 def decode_label_b64(b64: str, size: int, label_nc: int) -> np.ndarray:
     """b64 PNG -> (1, size, size) int32; 255 (unknown) -> label_nc."""
+    data = base64.b64decode(b64)
+    ncodec = _native_codec()
+    if ncodec is not None:
+        dims = ncodec.probe(data)
+        if dims is not None:
+            ops = ncodec.make_ops(
+                resize=(size, size) if dims != (size, size) else None,
+                resample=ncodec.NEAREST)
+            arr = ncodec.decode_label(data, ops, (size, size), label_nc)
+            if arr is not None:
+                return arr[None]
     from PIL import Image
 
     from deepsee_tpu.utils.images import label_to_array
 
-    return label_to_array(
-        Image.open(io.BytesIO(base64.b64decode(b64))), size, label_nc)
+    return label_to_array(Image.open(io.BytesIO(data)), size, label_nc)
 
 
 def encode_image_b64(img: np.ndarray) -> str:
     """(H, W, 3) float in [-1, 1] -> b64 PNG (tensor2im convention)."""
-    from PIL import Image
-
     from deepsee_tpu.utils.images import tensor2im
 
+    arr = tensor2im(img)
+    ncodec = _native_codec()
+    if ncodec is not None:
+        data = ncodec.encode_png(arr, level=PNG_ENCODE_LEVEL)
+        if data is not None:
+            return base64.b64encode(data).decode("ascii")
+    from PIL import Image
+
     buf = io.BytesIO()
-    Image.fromarray(tensor2im(img)).save(buf, format="PNG")
+    Image.fromarray(arr).save(buf, format="PNG",
+                              compress_level=PNG_ENCODE_LEVEL)
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
@@ -621,7 +666,15 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--request_timeout_s", type=float, default=600.0,
                    help="per-request wait bound; must cover the first-call "
                         "backend compile (minutes on a tunneled TPU)")
+    p.add_argument("--png_level", type=int, default=6,
+                   help="zlib level for response PNGs (0-9).  Levels <= 2 "
+                        "also skip row filtering in the native encoder — "
+                        "the fast setting when callers require PNG wire "
+                        "format (larger bytes, far less host CPU)")
     args = p.parse_args(argv)
+
+    global PNG_ENCODE_LEVEL
+    PNG_ENCODE_LEVEL = args.png_level
 
     srv = ServingServer(args.artifact, port=args.port, host=args.host,
                         batch_window_ms=args.batch_window_ms,

@@ -75,10 +75,21 @@ def main():
     p.add_argument("--workers", default="1,2,4,8")
     p.add_argument("--epochs", type=int, default=2,
                    help="timed passes (first pass warms the page cache)")
+    p.add_argument("--native", choices=["off", "auto", "on"], default="off",
+                   help="use the C codec (deepsee_tpu/native; bit-exact "
+                        "with PIL).  'on' builds/requires it")
+    p.add_argument("--scaled_decode", action="store_true",
+                   help="with --native: approximate DCT-scaled JPEG decode "
+                        "(the opt-in serving fast path, ~45 dB vs exact)")
     args = p.parse_args()
 
     from deepsee_tpu.config import get_preset
     from deepsee_tpu.data import DataLoader, create_dataset
+
+    if args.native == "on":
+        from deepsee_tpu import native
+        if not native.available(build_if_missing=True):
+            raise SystemExit("--native on: libdeepsee_native.so build failed")
 
     make_dataset(args.root, args.n_files)
 
@@ -87,7 +98,8 @@ def main():
         exp.data, image_dir=os.path.join(args.root, "images"),
         label_dir=os.path.join(args.root, "labels"),
         identities_file=os.path.join(args.root, "identities.csv"),
-        no_pairing_check=True))
+        no_pairing_check=True, native_codec=args.native,
+        native_scaled_decode=args.scaled_decode))
     dataset = create_dataset(exp, phase="train")
 
     # warm the OS page cache so we measure decode, not cold disk
@@ -121,6 +133,8 @@ def main():
             "img_per_s": round(ips, 1),
             "ms_per_image": round(1000.0 / ips, 2),
             "cpu_count": os.cpu_count(),
+            "native": args.native,
+            "scaled_decode": bool(args.scaled_decode),
         }))
 
 

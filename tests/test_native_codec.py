@@ -1,0 +1,287 @@
+"""Native host codec (deepsee_tpu/native) vs the PIL reference path.
+
+The native codec's contract is BIT-EXACTNESS with the PIL pipeline in its
+default mode (data/transforms.py cites data/base_dataset.py:87-107): same
+libjpeg decode, a re-implementation of Pillow's fixed-point resampler, the
+same f32 normalize.  These tests lock that contract on every surface the
+datasets use, plus the approximate scaled-decode fast path's quality bound
+and the PIL fallback for unsupported inputs.
+"""
+
+import dataclasses
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deepsee_tpu import native
+from deepsee_tpu.config import get_preset
+from deepsee_tpu.data import transforms
+from deepsee_tpu.data.datasets import CelebAMaskHQDataset, CelebADataset
+from deepsee_tpu.native import codec
+
+pytestmark = pytest.mark.skipif(
+    not native.available(build_if_missing=True),
+    reason="native codec toolchain unavailable")
+
+
+def _png(arr, mode=None):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode=mode).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _jpg(img, quality=95):
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def _norm(img):
+    return np.asarray(img, dtype=np.float32) / 255.0 * 2.0 - 1.0
+
+
+# ---------------------------------------------------------------------------
+# Resampler exactness
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,out", [
+    ((218, 178), (128, 128)),   # CelebA geometry
+    ((512, 512), (256, 256)),   # CelebAMask-HQ label geometry
+    ((100, 77), (33, 50)),      # odd sizes, anisotropic
+    ((64, 64), (200, 120)),     # upscale
+])
+@pytest.mark.parametrize("filt,pil_filt", [
+    (codec.BICUBIC, Image.BICUBIC), (codec.BILINEAR, Image.BILINEAR)])
+def test_resample_bit_exact(shape, out, filt, pil_filt):
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, (*shape, 3), np.uint8)
+    img = Image.fromarray(arr)
+    oh, ow = out
+    ref = _norm(img.resize((ow, oh), pil_filt))
+    got = codec.decode_image(_png(arr),
+                             codec.make_ops(resize=(ow, oh), resample=filt),
+                             (oh, ow))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_nearest_label_bit_exact():
+    rng = np.random.RandomState(1)
+    lab = rng.randint(0, 19, (512, 512)).astype(np.uint8)
+    lab[0, :40] = 255  # 'unknown' band
+    img = Image.fromarray(lab)
+    ref = np.asarray(img.resize((256, 256), Image.NEAREST)).astype(np.int32)
+    ref[ref == 255] = 19
+    got = codec.decode_label(
+        _png(lab), codec.make_ops(resize=(256, 256), resample=codec.NEAREST),
+        (256, 256), 19)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_palette_label_keeps_indices():
+    rng = np.random.RandomState(2)
+    lab = rng.randint(0, 19, (64, 64)).astype(np.uint8)
+    pimg = Image.fromarray(lab, mode="P")
+    pimg.putpalette([v for i in range(256) for v in (i, 255 - i, i // 2)])
+    buf = io.BytesIO()
+    pimg.save(buf, format="PNG")
+    ref = np.asarray(pimg.resize((32, 32), Image.NEAREST)).astype(np.int32)
+    got = codec.decode_label(
+        buf.getvalue(),
+        codec.make_ops(resize=(32, 32), resample=codec.NEAREST), (32, 32), 19)
+    np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Decode exactness + full pipeline
+# ---------------------------------------------------------------------------
+
+def test_jpeg_decode_bit_exact():
+    rng = np.random.RandomState(3)
+    img = Image.fromarray(rng.randint(0, 256, (24, 31, 3), np.uint8)).resize(
+        (311, 242), Image.BICUBIC)
+    for q in (75, 95):
+        data = _jpg(img, q)
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        got = codec.decode_u8(data, codec.make_ops(), ref.shape[:2])
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_gray_jpeg_replicates_like_pil_convert():
+    rng = np.random.RandomState(4)
+    img = Image.fromarray(rng.randint(0, 256, (40, 56), np.uint8), mode="L")
+    data = _jpg(img)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    got = codec.decode_u8(data, codec.make_ops(), ref.shape[:2])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_celeba_pipeline_bit_exact():
+    """center_crop 178 -> resize 128 bicubic -> flip -> normalize, on JPEG."""
+    rng = np.random.RandomState(5)
+    img = Image.fromarray(rng.randint(0, 256, (22, 18, 3), np.uint8)).resize(
+        (178, 218), Image.BICUBIC)
+    data = _jpg(img)
+    p = Image.open(io.BytesIO(data)).convert("RGB")
+    w, h = p.size
+    left, top = int(round((w - 178) / 2.0)), int(round((h - 178) / 2.0))
+    ref = _norm(p.crop((left, top, left + 178, top + 178))
+                .resize((128, 128), Image.BICUBIC)
+                .transpose(Image.FLIP_LEFT_RIGHT))
+    got = codec.decode_image(
+        data, codec.make_ops(center_crop=178, resize=(128, 128), flip=True),
+        (128, 128))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_resize_and_crop_pipeline_bit_exact():
+    """resize 64 -> crop 32 at an offset (the HQ geometry, shrunk)."""
+    rng = np.random.RandomState(6)
+    arr = rng.randint(0, 256, (90, 70, 3), np.uint8)
+    img = Image.fromarray(arr)
+    ref = _norm(img.resize((64, 64), Image.BICUBIC).crop((5, 9, 37, 41)))
+    got = codec.decode_image(
+        _png(arr), codec.make_ops(resize=(64, 64), crop=(5, 9, 32, 32)),
+        (32, 32))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_scaled_decode_quality_bound():
+    """The opt-in DCT-scaled path is approximate but close (>35 dB)."""
+    rng = np.random.RandomState(7)
+    img = Image.fromarray(rng.randint(0, 256, (32, 32, 3), np.uint8)).resize(
+        (1024, 1024), Image.BICUBIC)
+    data = _jpg(img)
+    exact = codec.decode_image(data, codec.make_ops(resize=(256, 256)),
+                               (256, 256))
+    fast = codec.decode_image(
+        data, codec.make_ops(resize=(256, 256), scaled_decode=True),
+        (256, 256))
+    assert not np.array_equal(fast, exact)  # it IS a different pixel stream
+    mse = np.mean((fast - exact) ** 2) * (127.5 ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr > 35.0, psnr
+
+
+# ---------------------------------------------------------------------------
+# Fallback + error envelope
+# ---------------------------------------------------------------------------
+
+def test_unsupported_bytes_fall_back_to_none():
+    assert codec.decode_image(b"not an image at all",
+                              codec.make_ops(resize=(8, 8)), (8, 8)) is None
+
+
+def test_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        codec.decode_image("/nonexistent/x.jpg",
+                           codec.make_ops(resize=(8, 8)), (8, 8))
+
+
+def test_out_of_bounds_crop_falls_back():
+    rng = np.random.RandomState(8)
+    arr = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    # crop larger than the resized image -> PIL would pad; native declines
+    assert codec.decode_image(
+        _png(arr), codec.make_ops(resize=(8, 8), crop=(0, 0, 32, 32)),
+        (32, 32)) is None
+
+
+def test_probe():
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, (13, 29, 3), np.uint8)
+    assert codec.probe(_png(arr)) == (29, 13)
+    assert codec.probe(_jpg(Image.fromarray(arr))) == (29, 13)
+    assert codec.probe(b"junk") is None
+
+
+def test_encode_png_roundtrip():
+    rng = np.random.RandomState(10)
+    arr = rng.randint(0, 256, (37, 53, 3), np.uint8)
+    for level in (1, 6):
+        data = codec.encode_png(arr, level=level)
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(back, arr)
+    gray = rng.randint(0, 20, (17, 19)).astype(np.uint8)
+    back = np.asarray(Image.open(io.BytesIO(codec.encode_png(gray, 1))))
+    np.testing.assert_array_equal(back, gray)
+
+
+# ---------------------------------------------------------------------------
+# Dataset integration: native on vs off is sample-for-sample identical
+# ---------------------------------------------------------------------------
+
+def _disk_dataset(tmp_path, n=4, img_size=256, lab_size=128, fmt="jpg"):
+    rng = np.random.RandomState(11)
+    imgd, labd = tmp_path / "img", tmp_path / "lab"
+    imgd.mkdir(), labd.mkdir()
+    for i in range(n):
+        img = Image.fromarray(
+            rng.randint(0, 256, (16, 16, 3), np.uint8)).resize(
+                (img_size, img_size), Image.BICUBIC)
+        if fmt == "jpg":
+            img.save(imgd / f"{i}.jpg", quality=95)
+        else:
+            img.save(imgd / f"{i}.png")
+        Image.fromarray(
+            rng.randint(0, 19, (lab_size, lab_size)).astype(np.uint8)).save(
+                labd / f"{i}.png")
+    return str(imgd), str(labd)
+
+
+@pytest.mark.parametrize("preset,cls,fmt", [
+    ("8x_independent_256x256", CelebAMaskHQDataset, "jpg"),
+    ("8x_independent_128x128", CelebADataset, "png"),
+])
+def test_dataset_native_matches_pil(tmp_path, preset, cls, fmt):
+    exp = get_preset(preset)
+    imgd, labd = _disk_dataset(tmp_path, fmt=fmt)
+
+    def make(native_mode):
+        d = dataclasses.replace(exp.data, image_dir=imgd, label_dir=labd,
+                                native_codec=native_mode)
+        ds = cls(dataclasses.replace(exp, data=d), phase="train")
+        ds.seed(123)
+        return ds
+
+    a, b = make("off"), make("on")
+    for i in range(len(a)):
+        sa, sb = a[i], b[i]
+        # identical rng stream -> identical params -> identical pixels
+        np.testing.assert_array_equal(sa["label"], sb["label"])
+        np.testing.assert_array_equal(sa["image_hr"], sb["image_hr"])
+        assert sb["image_hr"].dtype == np.float32
+        assert sb["label"].dtype == np.int32
+
+
+def test_native_on_without_library(monkeypatch):
+    monkeypatch.setattr(native, "available", lambda **kw: False)
+    exp = get_preset("8x_independent_256x256")
+    d = dataclasses.replace(exp.data, native_codec="on")
+    with pytest.raises(RuntimeError, match="native_codec"):
+        transforms.load_image("x.jpg", d, exp.model,
+                              transforms.TransformParams((0, 0), False), True)
+
+
+def test_unsupported_mode_falls_back_to_pil(tmp_path):
+    """scale_width depends on the decoded size -> native plan is None."""
+    exp = get_preset("8x_independent_256x256")
+    d = dataclasses.replace(exp.data,
+                            preprocess_mode="scale_width_and_crop",
+                            native_codec="on")
+    assert transforms._native_plan(d, exp.model,
+                                   transforms.TransformParams((0, 0), False),
+                                   True, False, None) is None
+    rng = np.random.RandomState(12)
+    arr = rng.randint(0, 256, (96, 64, 3), np.uint8)
+    p = tmp_path / "a.png"
+    Image.fromarray(arr).save(p)
+    lib_arr = transforms.load_image(str(p), d, exp.model,
+                                    transforms.TransformParams((0, 0), False),
+                                    is_train=False)
+    ref = transforms.apply_image_transform(
+        Image.open(p), d, exp.model, transforms.TransformParams((0, 0), False),
+        is_train=False)
+    np.testing.assert_array_equal(lib_arr, ref)
