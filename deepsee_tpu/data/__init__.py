@@ -11,4 +11,6 @@ from deepsee_tpu.data.transforms import (
     apply_image_transform,
     apply_label_transform,
     get_params,
+    load_image,
+    load_label,
 )

@@ -44,6 +44,50 @@ def label_to_array(lab, size: int, label_nc: int) -> np.ndarray:
     return arr[None]
 
 
+def _native_codec():
+    try:
+        from deepsee_tpu import native
+        from deepsee_tpu.native import codec as ncodec
+    except Exception:
+        return None
+    return ncodec if native.available() else None
+
+
+def image_file_to_array(path: str, size: Optional[int] = None) -> np.ndarray:
+    """image_to_array over a file path: native codec when built (bit-exact),
+    PIL otherwise."""
+    ncodec = _native_codec()
+    if ncodec is not None and size:
+        with open(path, "rb") as f:
+            data = f.read()
+        dims = ncodec.probe(data)
+        if dims is not None:
+            ops = ncodec.make_ops(
+                resize=(size, size) if dims != (size, size) else None)
+            arr = ncodec.decode_image(data, ops, (size, size))
+            if arr is not None:
+                return arr[None]
+    return image_to_array(Image.open(path), size)
+
+
+def label_file_to_array(path: str, size: int, label_nc: int) -> np.ndarray:
+    """label_to_array over a file path: native codec when built (bit-exact),
+    PIL otherwise."""
+    ncodec = _native_codec()
+    if ncodec is not None:
+        with open(path, "rb") as f:
+            data = f.read()
+        dims = ncodec.probe(data)
+        if dims is not None:
+            ops = ncodec.make_ops(
+                resize=(size, size) if dims != (size, size) else None,
+                resample=ncodec.NEAREST)
+            arr = ncodec.decode_label(data, ops, (size, size), label_nc)
+            if arr is not None:
+                return arr[None]
+    return label_to_array(Image.open(path), size, label_nc)
+
+
 def label2im(label: np.ndarray, n_label: int = 19) -> np.ndarray:
     """Integer (or one-hot NHWC) label map -> RGB uint8."""
     label = np.asarray(label)

@@ -43,16 +43,16 @@ class Demo:
     # -- IO -------------------------------------------------------------
 
     def load_image(self, path: str, size: Optional[int] = None) -> jnp.ndarray:
-        from deepsee_tpu.utils.images import image_to_array
+        from deepsee_tpu.utils.images import image_file_to_array
 
-        return jnp.asarray(image_to_array(Image.open(path), size))
+        return jnp.asarray(image_file_to_array(path, size))
 
     def load_label(self, path: str) -> jnp.ndarray:
-        from deepsee_tpu.utils.images import label_to_array
+        from deepsee_tpu.utils.images import label_file_to_array
 
         cfg = self.exp.model
-        return jnp.asarray(label_to_array(
-            Image.open(path), cfg.crop_size, cfg.label_nc))
+        return jnp.asarray(label_file_to_array(
+            path, cfg.crop_size, cfg.label_nc))
 
     # -- style sources ----------------------------------------------------
 

@@ -25,7 +25,20 @@ import jax.numpy as jnp
 
 def load_real(path: str, dataset: str, crop_size: int,
               center_crop_size: int = 178) -> np.ndarray:
-    """Dataset-specific GT preprocessing (evaluate_folder.py:199-207)."""
+    """Dataset-specific GT preprocessing (evaluate_folder.py:199-207).
+    Decodes with the native codec when built (bit-exact; PIL fallback)."""
+    try:
+        from deepsee_tpu import native
+        from deepsee_tpu.native import codec as ncodec
+    except Exception:
+        native = None
+    if native is not None and native.available():
+        ops = ncodec.make_ops(
+            center_crop=center_crop_size if dataset == "celeba" else 0,
+            resize=(crop_size, crop_size))
+        arr = ncodec.decode_image(path, ops, (crop_size, crop_size))
+        if arr is not None:
+            return arr
     img = Image.open(path).convert("RGB")
     if dataset == "celeba":
         w, h = img.size

@@ -47,6 +47,15 @@ def _png_b64(arr_u8: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+def _native_codec_available() -> bool:
+    try:
+        from deepsee_tpu import native
+
+        return native.available()
+    except Exception:
+        return False
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--name", default="8x_independent_256x256")
@@ -64,6 +73,9 @@ def main():
                    choices=("png", "raw", "bin"),
                    help="wire format (raw = b64 uint8 bytes in JSON; "
                         "bin = /v1/super_resolve_bin octet-stream)")
+    p.add_argument("--png_level", type=int, default=6,
+                   help="daemon-side response PNG zlib level (<=2 also "
+                        "skips row filtering in the native encoder)")
     args = p.parse_args()
 
     import jax
@@ -107,6 +119,9 @@ def main():
     save_serving(tmp, exp, blobs, batch_size=args.trace_batch,
                  platforms=(platform,))
 
+    import deepsee_tpu.server as server_mod
+
+    server_mod.PNG_ENCODE_LEVEL = args.png_level
     srv = ServingServer(tmp, port=0, batch_window_ms=args.batch_window_ms)
     srv.start()
     binary = args.encoding == "bin"
@@ -189,6 +204,8 @@ def main():
         },
         "batch_fill": health["stats"]["batch_fill"],
         "cpu_count": os.cpu_count(),
+        "png_level": args.png_level,
+        "native_codec": _native_codec_available(),
     }
     print(json.dumps(out))
 

@@ -256,6 +256,84 @@ def test_dataset_native_matches_pil(tmp_path, preset, cls, fmt):
         assert sb["label"].dtype == np.int32
 
 
+def test_image_file_helpers_match_pil(tmp_path):
+    """demo.py / server seams: image_file_to_array + label_file_to_array."""
+    from deepsee_tpu.utils.images import (image_file_to_array, image_to_array,
+                                          label_file_to_array, label_to_array)
+
+    rng = np.random.RandomState(13)
+    p_img = tmp_path / "img.jpg"
+    Image.fromarray(rng.randint(0, 256, (16, 16, 3), np.uint8)).resize(
+        (100, 120), Image.BICUBIC).save(p_img, quality=95)
+    for size in (64, None):
+        ref = image_to_array(Image.open(p_img), size)
+        got = image_file_to_array(str(p_img), size)
+        np.testing.assert_array_equal(got, ref)
+    p_lab = tmp_path / "lab.png"
+    lab = rng.randint(0, 19, (80, 80)).astype(np.uint8)
+    lab[0, 0] = 255
+    Image.fromarray(lab).save(p_lab)
+    for size in (64, 80):
+        ref = label_to_array(Image.open(p_lab), size, 19)
+        got = label_file_to_array(str(p_lab), size, 19)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_evaluate_folder_load_real_matches_pil(tmp_path):
+    import evaluate_folder
+
+    rng = np.random.RandomState(14)
+    p = tmp_path / "gt.jpg"
+    Image.fromarray(rng.randint(0, 256, (20, 16, 3), np.uint8)).resize(
+        (178, 218), Image.BICUBIC).save(p, quality=95)
+
+    def pil_ref(dataset, crop):
+        img = Image.open(p).convert("RGB")
+        if dataset == "celeba":
+            w, h = img.size
+            left, top = int(round((w - 178) / 2.0)), int(round((h - 178) / 2.0))
+            img = img.crop((left, top, left + 178, top + 178))
+        if img.size != (crop, crop):
+            img = img.resize((crop, crop), Image.BICUBIC)
+        return np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
+
+    for dataset, crop in (("celeba", 128), ("celebamaskhq", 64)):
+        got = evaluate_folder.load_real(str(p), dataset, crop)
+        np.testing.assert_array_equal(got, pil_ref(dataset, crop))
+
+
+def test_server_codecs_match_pil_reference():
+    """server.py decode/encode round-trips equal the PIL formulation."""
+    import base64
+
+    from deepsee_tpu import server as srv
+    from deepsee_tpu.utils.images import image_to_array, label_to_array
+
+    rng = np.random.RandomState(15)
+    img = rng.randint(0, 256, (32, 32, 3), np.uint8)
+    b64 = base64.b64encode(_png(img)).decode()
+    np.testing.assert_array_equal(
+        srv.decode_image_b64(b64, 32),
+        image_to_array(Image.open(io.BytesIO(_png(img))), 32))
+    lab = rng.randint(0, 19, (64, 64)).astype(np.uint8)
+    b64 = base64.b64encode(_png(lab)).decode()
+    np.testing.assert_array_equal(
+        srv.decode_label_b64(b64, 32, 19),
+        label_to_array(Image.open(io.BytesIO(_png(lab))), 32, 19))
+    # encode: any compress level must decode back to tensor2im pixels
+    x = rng.uniform(-1, 1, (24, 24, 3)).astype(np.float32)
+    from deepsee_tpu.utils.images import tensor2im
+    for level in (1, 6):
+        old = srv.PNG_ENCODE_LEVEL
+        try:
+            srv.PNG_ENCODE_LEVEL = level
+            data = base64.b64decode(srv.encode_image_b64(x))
+        finally:
+            srv.PNG_ENCODE_LEVEL = old
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(back, tensor2im(x))
+
+
 def test_native_on_without_library(monkeypatch):
     monkeypatch.setattr(native, "available", lambda **kw: False)
     exp = get_preset("8x_independent_256x256")
