@@ -17,7 +17,6 @@ import os
 from typing import Any, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from deepsee_tpu.config import Experiment
@@ -99,33 +98,12 @@ def load_inference_variables(exp: Experiment,
 
 
 def save_torch_compatible(variables: dict, path: str) -> None:
-    """Export a variables dict to the reference's .pth key layout
-    (inverse of utils/torch_import; requires torch)."""
+    """Export one network's variables dict to the reference's .pth key
+    layout (inverse of utils/torch_import; requires torch).  For a full
+    reference-loadable `<epoch>_net_{SR,E,D}.pth` set, use
+    torch_import.export_reference_checkpoint instead."""
     import torch
 
-    from deepsee_tpu.utils.torch_import import _flatten, _flax_to_torch_key
+    from deepsee_tpu.utils.torch_import import export_torch_state
 
-    sd = {}
-    params_flat = _flatten(variables.get("params", {}))
-    for coll, tree in variables.items():
-        for p, val in _flatten(tree).items():
-            key = _flax_to_torch_key(p)
-            arr = np.asarray(val)
-            if coll == "params" and p[-1] == "kernel":
-                arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
-                if ("spectral" in variables
-                        and _get(variables["spectral"], p[:-1]) is not None):
-                    key = key.replace("weight", "weight_orig")
-            elif coll == "spectral" and p[-1] == "v":
-                kh, kw, cin, _ = params_flat[p[:-1] + ("kernel",)].shape
-                arr = arr.reshape(kh, kw, cin).transpose(2, 0, 1).reshape(-1)
-            sd[key] = torch.from_numpy(np.array(arr))
-    torch.save(sd, path)
-
-
-def _get(tree, path):
-    for k in path:
-        if not isinstance(tree, dict) or k not in tree:
-            return None
-        tree = tree[k]
-    return tree
+    torch.save(export_torch_state(variables), path)

@@ -1,4 +1,4 @@
-"""Import PyTorch DeepSEE checkpoints into deepsee_tpu variable pytrees.
+"""Import/export PyTorch DeepSEE checkpoints <-> deepsee_tpu variable pytrees.
 
 The reference saves per-network state dicts `<epoch>_net_{SR,D,E}.pth`
 (util/util.py:217-237).  Module names here intentionally mirror the torch
@@ -11,9 +11,11 @@ module paths, so translation is a handful of mechanical rules:
   running_mean / running_var     -> batch_stats.{mean,var}
   Sequential indices (.0.0)      -> named submodules (see _RULES)
 
-Dead reference params (SEAN's unused style_conv at normalization.py:156, the
-unused per-trunk `final` heads inside CombinedstyleEncoder) have no
-counterpart here and are ignored.
+Dead reference params (SEAN's unused style_conv at normalization.py:156 and
+:247, the unused per-trunk `final` heads inside CombinedstyleEncoder) have no
+counterpart here: the importer ignores them and the exporter synthesizes
+them (plus torch's num_batches_tracked BN bookkeeping) so the reference's
+strict `load_state_dict` accepts exported checkpoints unchanged.
 """
 
 from __future__ import annotations
@@ -208,3 +210,94 @@ def import_reference_checkpoint(system, checkpoint_dir: str,
     print(f"Imported reference checkpoint '{epoch}' from {checkpoint_dir}")
     return SystemVariables(g=g, e=e, d=d if include_d else None,
                            vgg=variables.vgg)
+
+
+# ---------------------------------------------------------------------------
+# Export: deepsee_tpu variables -> reference-format torch checkpoints, the
+# exact inverse of the import above, so models trained here deploy into the
+# reference's torch stack (or reload via --torch_checkpoint).
+
+
+def export_torch_state(variables: Mapping) -> Dict[str, Any]:
+    """Inverse of import_torch_state: one network's flax variables
+    ({"params", "batch_stats", "spectral"}) -> a torch state_dict in the
+    reference's key layout (OIHW conv weights, weight_orig/u/v spectral
+    naming, running stats).  Values are torch float32 tensors."""
+    if torch is None:
+        raise RuntimeError("torch unavailable; cannot build .pth state dicts")
+
+    params_flat = _flatten(variables.get("params", {}))
+    spectral_mods = {p[:-1] for p in _flatten(variables.get("spectral", {}))
+                     if p[-1] == "u"}
+    sd: Dict[str, Any] = {}
+    for coll, tree in variables.items():
+        for path, val in _flatten(tree).items():
+            key = _flax_to_torch_key(path)
+            arr = np.asarray(val, dtype=np.float32)
+            if coll == "params" and path[-1] == "kernel":
+                arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+                if path[:-1] in spectral_mods:
+                    key = key[: -len("weight")] + "weight_orig"
+            elif coll == "spectral" and path[-1] == "v":
+                # ours flattens (KH,KW,I); torch flattens (I,KH,KW)
+                kh, kw, cin, _ = params_flat[path[:-1] + ("kernel",)].shape
+                arr = arr.reshape(kh, kw, cin).transpose(2, 0, 1).reshape(-1)
+            sd[key] = torch.from_numpy(np.array(arr))
+    return sd
+
+
+def complete_for_reference(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Add the reference-module keys that have no deepsee_tpu counterpart,
+    so the reference's strict `net.load_state_dict` (util/util.py:228-237)
+    accepts the exported dict:
+
+      * `num_batches_tracked` next to every running_mean (torch _BatchNorm
+        bookkeeping; SynchronizedBatchNorm2d subclasses _BatchNorm too)
+      * the dead `style_conv` Conv1d(19,19,1) in every SEAN/PureSEAN block
+        (normalization.py:156, :247 — constructed, never used in forward)
+      * the dead per-trunk `final` heads of CombinedstyleEncoder
+        (encoder.py:24-27 built by the AbstractStyleEncoder base for each
+        sub-encoder; the combined forward only uses the shared head)
+
+    Synthesized values are zeros — the reference never reads them.
+    """
+    out = dict(sd)
+    for key, val in sd.items():
+        if key.endswith("running_mean"):
+            out[key[: -len("running_mean")] + "num_batches_tracked"] = (
+                torch.tensor(0, dtype=torch.int64))
+        if key.endswith("mlp_style_gamma.weight"):
+            base = key[: -len("mlp_style_gamma.weight")]
+            out[base + "style_conv.weight"] = torch.zeros(19, 19, 1)
+            out[base + "style_conv.bias"] = torch.zeros(19)
+    if any(k.startswith("encoder_full.") for k in sd):
+        for key, val in sd.items():
+            if key.startswith("final."):
+                out["encoder_full." + key] = torch.zeros_like(val)
+                out["encoder_mini." + key] = torch.zeros_like(val)
+    return out
+
+
+def export_reference_checkpoint(variables, checkpoint_dir: str,
+                                epoch: str = "latest") -> Dict[str, str]:
+    """Write `<epoch>_net_{SR,E,D}.pth` files in the reference's exact
+    save_network format ({"model": state_dict}, util/util.py:217-224).
+
+    `variables`: anything with .g/.e/.d network trees (SystemVariables);
+    nets that are None are skipped.  Returns {tag: path} for what was
+    written; the files load directly via the reference's load_network or
+    back through import_reference_checkpoint / --torch_checkpoint.
+    """
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    written: Dict[str, str] = {}
+    for tag, tree in (("SR", variables.g), ("E", variables.e),
+                      ("D", variables.d)):
+        if tree is None:
+            continue
+        sd = complete_for_reference(export_torch_state(tree))
+        path = os.path.join(checkpoint_dir, f"{epoch}_net_{tag}.pth")
+        torch.save({"model": sd}, path)
+        written[tag] = path
+    return written
