@@ -371,6 +371,10 @@ int decode_png(const uint8_t* data, size_t len, int channels,
     png_destroy_read_struct(&png, nullptr, nullptr);
     return DSN_ERR_DECODE;
   }
+  // raw/rowptrs live above the setjmp: a longjmp from inside png_read_image
+  // would otherwise skip destructors of locals declared after this point
+  // (leaking the pixel buffer on every corrupt input in a long-lived server)
+  std::vector<uint8_t> raw;
   std::vector<png_bytep> rowptrs;
   int rc = DSN_OK;
   if (setjmp(png_jmpbuf(png))) {
@@ -416,7 +420,7 @@ int decode_png(const uint8_t* data, size_t len, int channels,
     png_destroy_read_struct(&png, &info, nullptr);
     return DSN_ERR_UNSUPPORTED;
   }
-  std::vector<uint8_t> raw(static_cast<size_t>(*w) * *h * src_ch);
+  raw.resize(static_cast<size_t>(*w) * *h * src_ch);
   rowptrs.resize(*h);
   for (int y = 0; y < *h; y++)
     rowptrs[y] = raw.data() + static_cast<size_t>(y) * *w * src_ch;
