@@ -467,14 +467,24 @@ int sniff_and_decode(const uint8_t* data, size_t len, int channels,
   return DSN_ERR_FORMAT;
 }
 
+// Python's round() is round-half-to-even: int(round(m / 2.0)) for m >= 0.
+// std::lround is half-away-from-zero, which differs whenever m is odd and
+// floor(m/2) is even (m=1: 0 vs 1; m=5: 2 vs 3) — the crop origin must match
+// the PIL paths (transforms.py:69-71, evaluate_folder.py:46) bit-exactly.
+static inline int half_even_div2(int m) {
+  int q = m / 2;
+  if (m % 2 == 0) return q;
+  return q + (q & 1);
+}
+
 int apply_ops(std::vector<uint8_t>* px, int* w, int* h, int ch,
               const DsnOps* ops) {
-  // center crop (PIL round-half-up origin; transforms.py:67-72)
+  // center crop (Python banker's-rounding origin; transforms.py:67-72)
   if (ops->center_crop > 0) {
     int cc = ops->center_crop;
     if (cc > *w || cc > *h) return DSN_ERR_BOUNDS;
-    int left = static_cast<int>(std::lround((*w - cc) / 2.0));
-    int top = static_cast<int>(std::lround((*h - cc) / 2.0));
+    int left = half_even_div2(*w - cc);
+    int top = half_even_div2(*h - cc);
     std::vector<uint8_t> cropped(static_cast<size_t>(cc) * cc * ch);
     for (int y = 0; y < cc; y++)
       std::memcpy(&cropped[static_cast<size_t>(y) * cc * ch],

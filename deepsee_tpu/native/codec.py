@@ -106,16 +106,15 @@ def encode_png(arr: np.ndarray, level: int = 6) -> Optional[bytes]:
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     channels = 3 if arr.ndim == 3 else 1
     h, w = arr.shape[:2]
-    cap = arr.nbytes + 4096  # worst case: stored blocks + headers
+    # Worst case: one filter byte per row, zlib stored-block framing
+    # (5 bytes per <=64KiB block) over the filtered stream, plus headers.
+    raw = arr.nbytes + h
+    cap = raw + 5 * (raw // 65535 + 1) + 4096
     out = np.empty(cap, dtype=np.uint8)
     n = lib.dsn_encode_png(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, channels,
         level, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
-    if n < 0:
-        if n == native.ERR_CAP:  # incompressible + stored-block overhead
-            return None
-        return None
-    return out[:n].tobytes()
+    return out[:n].tobytes() if n >= 0 else None
 
 
 def make_ops(center_crop: int = 0, resize: Optional[Tuple[int, int]] = None,

@@ -63,7 +63,6 @@ from __future__ import annotations
 import argparse
 import base64
 import collections
-import io
 import json
 import os
 import threading
@@ -82,9 +81,9 @@ MAX_BODY_BYTES = 64 * 1024 * 1024
 
 # -- request payload <-> arrays (demo.py:45-61 conventions) ---------------
 #
-# Each codec tries the native C library (deepsee_tpu/native, bit-exact with
-# the PIL path — tests/test_native_codec.py) and falls back to PIL when it
-# isn't built or the stream is outside its envelope.  PNG encode level is a
+# The probe -> ops -> decode -> PIL-fallback sequence lives in
+# utils/images.py (the single source of the input-image convention); these
+# wrappers only handle the b64 wire framing.  PNG encode level is a
 # process-wide knob (--png_level): levels <= 2 skip zlib effort + row
 # filtering — the fast serving setting when PNG wire format is required
 # (docs/serving.md measures the codec as the PNG-wire bottleneck).
@@ -92,70 +91,26 @@ MAX_BODY_BYTES = 64 * 1024 * 1024
 PNG_ENCODE_LEVEL = 6  # PIL's default; overridden by --png_level
 
 
-def _native_codec():
-    try:
-        from deepsee_tpu import native
-        from deepsee_tpu.native import codec as ncodec
-    except Exception:
-        return None
-    return ncodec if native.available() else None
-
-
 def decode_image_b64(b64: str, size: int) -> np.ndarray:
     """b64 PNG/JPEG -> (1, size, size, 3) float32 in [-1, 1]."""
-    data = base64.b64decode(b64)
-    ncodec = _native_codec()
-    if ncodec is not None:
-        dims = ncodec.probe(data)
-        if dims is not None:
-            ops = ncodec.make_ops(
-                resize=(size, size) if dims != (size, size) else None)
-            arr = ncodec.decode_image(data, ops, (size, size))
-            if arr is not None:
-                return arr[None]
-    from PIL import Image
+    from deepsee_tpu.utils.images import image_bytes_to_array
 
-    from deepsee_tpu.utils.images import image_to_array
-
-    return image_to_array(Image.open(io.BytesIO(data)), size)
+    return image_bytes_to_array(base64.b64decode(b64), size)
 
 
 def decode_label_b64(b64: str, size: int, label_nc: int) -> np.ndarray:
     """b64 PNG -> (1, size, size) int32; 255 (unknown) -> label_nc."""
-    data = base64.b64decode(b64)
-    ncodec = _native_codec()
-    if ncodec is not None:
-        dims = ncodec.probe(data)
-        if dims is not None:
-            ops = ncodec.make_ops(
-                resize=(size, size) if dims != (size, size) else None,
-                resample=ncodec.NEAREST)
-            arr = ncodec.decode_label(data, ops, (size, size), label_nc)
-            if arr is not None:
-                return arr[None]
-    from PIL import Image
+    from deepsee_tpu.utils.images import label_bytes_to_array
 
-    from deepsee_tpu.utils.images import label_to_array
-
-    return label_to_array(Image.open(io.BytesIO(data)), size, label_nc)
+    return label_bytes_to_array(base64.b64decode(b64), size, label_nc)
 
 
 def encode_image_b64(img: np.ndarray) -> str:
     """(H, W, 3) float in [-1, 1] -> b64 PNG (tensor2im convention)."""
-    from deepsee_tpu.utils.images import tensor2im
+    from deepsee_tpu.utils.images import encode_png_bytes, tensor2im
 
-    arr = tensor2im(img)
-    ncodec = _native_codec()
-    if ncodec is not None:
-        data = ncodec.encode_png(arr, level=PNG_ENCODE_LEVEL)
-        if data is not None:
-            return base64.b64encode(data).decode("ascii")
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG",
-                              compress_level=PNG_ENCODE_LEVEL)
-    return base64.b64encode(buf.getvalue()).decode("ascii")
+    data = encode_png_bytes(tensor2im(img), level=PNG_ENCODE_LEVEL)
+    return base64.b64encode(data).decode("ascii")
 
 
 # "raw" wire encoding: b64 of raw uint8 bytes, no PNG codec.  PNG encode +
@@ -574,14 +529,23 @@ class ServingServer:
 
     def health(self) -> dict:
         s = self.batcher.stats_snapshot()
-        s["batch_fill"] = (
-            round(s["batched_samples"] / (s["batches"] or 1)
-                  / self.manifest["batch_size"], 3))
+        prog = self.batcher.program_stats_snapshot()
+        # Fill ratios use each program's own trace batch — under
+        # multi-artifact serving the programs have different batch sizes,
+        # so the aggregate is capacity-weighted across programs.
+        capacity = 0
+        for name, ps in prog.items():
+            cap = ps["batches"] * self.batcher.programs[name][1]
+            ps["batch_fill"] = (round(ps["batched_samples"] / cap, 3)
+                                if cap else 0.0)
+            capacity += cap
+        s["batch_fill"] = (round(s["batched_samples"] / capacity, 3)
+                           if capacity else 0.0)
         return {"status": "ok", "model": self.manifest["name"],
                 "uptime_s": round(time.time() - self.t_start, 1),
                 "trace_batch": self.manifest["batch_size"], "stats": s,
                 "models": sorted(self.manifests),
-                "programs": self.batcher.program_stats_snapshot()}
+                "programs": prog}
 
     def _handler_cls(self):
         server = self
@@ -621,7 +585,10 @@ class ServingServer:
                     n = int(self.headers.get("Content-Length", 0))
                     if n > MAX_BODY_BYTES:
                         # refuse before reading: one oversized request must
-                        # not be able to exhaust host memory
+                        # not be able to exhaust host memory.  The unread
+                        # body would corrupt a keep-alive connection, so
+                        # close it after responding.
+                        self.close_connection = True
                         self._send(413, {
                             "error": f"body {n} bytes exceeds the "
                                      f"{MAX_BODY_BYTES} byte limit"})

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import io
 import os
 from typing import Optional
 
@@ -53,13 +54,14 @@ def _native_codec():
     return ncodec if native.available() else None
 
 
-def image_file_to_array(path: str, size: Optional[int] = None) -> np.ndarray:
-    """image_to_array over a file path: native codec when built (bit-exact),
-    PIL otherwise."""
+def image_bytes_to_array(data: bytes, size: Optional[int] = None
+                         ) -> np.ndarray:
+    """Encoded JPEG/PNG bytes -> (1, size, size, 3) float32 in [-1, 1]:
+    native codec when built (bit-exact with the PIL path), PIL otherwise.
+    The single probe -> ops -> decode -> fallback sequence; the file and
+    b64 entry points (here and server.py) all delegate to it."""
     ncodec = _native_codec()
     if ncodec is not None and size:
-        with open(path, "rb") as f:
-            data = f.read()
         dims = ncodec.probe(data)
         if dims is not None:
             ops = ncodec.make_ops(
@@ -67,16 +69,14 @@ def image_file_to_array(path: str, size: Optional[int] = None) -> np.ndarray:
             arr = ncodec.decode_image(data, ops, (size, size))
             if arr is not None:
                 return arr[None]
-    return image_to_array(Image.open(path), size)
+    return image_to_array(Image.open(io.BytesIO(data)), size)
 
 
-def label_file_to_array(path: str, size: int, label_nc: int) -> np.ndarray:
-    """label_to_array over a file path: native codec when built (bit-exact),
-    PIL otherwise."""
+def label_bytes_to_array(data: bytes, size: int, label_nc: int) -> np.ndarray:
+    """Encoded PNG/JPEG label-map bytes -> (1, size, size) int32;
+    255 (unknown) -> label_nc.  Native codec when built, PIL otherwise."""
     ncodec = _native_codec()
     if ncodec is not None:
-        with open(path, "rb") as f:
-            data = f.read()
         dims = ncodec.probe(data)
         if dims is not None:
             ops = ncodec.make_ops(
@@ -85,6 +85,38 @@ def label_file_to_array(path: str, size: int, label_nc: int) -> np.ndarray:
             arr = ncodec.decode_label(data, ops, (size, size), label_nc)
             if arr is not None:
                 return arr[None]
+    return label_to_array(Image.open(io.BytesIO(data)), size, label_nc)
+
+
+def encode_png_bytes(arr_uint8: np.ndarray, level: int = 6) -> bytes:
+    """uint8 (H, W, 3) -> PNG bytes: native encoder when built, PIL
+    otherwise.  levels <= 2 skip row filtering in the native path (larger
+    bytes, much less zlib — the fast serving setting)."""
+    ncodec = _native_codec()
+    if ncodec is not None:
+        data = ncodec.encode_png(arr_uint8, level=level)
+        if data is not None:
+            return data
+    buf = io.BytesIO()
+    Image.fromarray(arr_uint8).save(buf, format="PNG", compress_level=level)
+    return buf.getvalue()
+
+
+def image_file_to_array(path: str, size: Optional[int] = None) -> np.ndarray:
+    """image_to_array over a file path: native codec when built (bit-exact),
+    PIL otherwise."""
+    if _native_codec() is not None and size:
+        with open(path, "rb") as f:
+            return image_bytes_to_array(f.read(), size)
+    return image_to_array(Image.open(path), size)
+
+
+def label_file_to_array(path: str, size: int, label_nc: int) -> np.ndarray:
+    """label_to_array over a file path: native codec when built (bit-exact),
+    PIL otherwise."""
+    if _native_codec() is not None:
+        with open(path, "rb") as f:
+            return label_bytes_to_array(f.read(), size, label_nc)
     return label_to_array(Image.open(path), size, label_nc)
 
 

@@ -209,6 +209,37 @@ def test_encode_png_roundtrip():
     np.testing.assert_array_equal(back, gray)
 
 
+def test_encode_png_tall_narrow_fits_cap():
+    """The output cap must cover PNG's per-row filter byte: a 20000x1
+    image has 20000 filter bytes, far beyond a fixed slack (codec.py)."""
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (20000, 1, 3), np.uint8)
+    data = codec.encode_png(arr)
+    assert data is not None, "valid encode must not hit the output cap"
+    back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_center_crop_origin_matches_python_round():
+    """Python's round() is banker's rounding; the crop origin must match it
+    bit-exactly for every odd/even margin (transforms.py:69-71).  m=1 and
+    m=5 are the cases where lround() would differ (codec.cpp apply_ops)."""
+    rng = np.random.RandomState(13)
+    cc = 32
+    for m_w in range(6):
+        for m_h in range(6):
+            w, h = cc + m_w, cc + m_h
+            arr = rng.randint(0, 256, (h, w, 3), np.uint8)
+            img = Image.fromarray(arr)
+            left = int(round((w - cc) / 2.0))
+            top = int(round((h - cc) / 2.0))
+            ref = _norm(img.crop((left, top, left + cc, top + cc)))
+            got = codec.decode_image(_png(arr),
+                                     codec.make_ops(center_crop=cc), (cc, cc))
+            np.testing.assert_array_equal(
+                got, ref, err_msg=f"margin w={m_w} h={m_h}")
+
+
 # ---------------------------------------------------------------------------
 # Dataset integration: native on vs off is sample-for-sample identical
 # ---------------------------------------------------------------------------
