@@ -132,8 +132,49 @@ def load(build_if_missing: bool = False) -> Optional[ctypes.CDLL]:
     lib.dsn_encode_png.restype = i64
     lib.dsn_encode_png.argtypes = [u8p, i32, i32, i32, i32, u8p, i64]
 
+    if not _selfcheck(lib):
+        import warnings
+        warnings.warn(
+            "deepsee_tpu native codec: runtime JPEG parity self-check vs PIL "
+            "FAILED (system libjpeg likely differs from Pillow's bundled "
+            "libjpeg-turbo) — falling back to the PIL decode path so training "
+            "pixels stay reference-exact.", RuntimeWarning)
+        _lib_failed = True
+        return None
+
     _lib = lib
     return _lib
+
+
+def _selfcheck(lib) -> bool:
+    """One-shot decode-parity probe: the bit-exact-JPEG guarantee assumes the
+    system libjpeg the .so links behaves identically to the libjpeg-turbo
+    bundled in the Pillow wheel.  Decode a small in-memory JPEG through both
+    and compare; any mismatch disables the native path for this process.
+    Runs once per process at load(); ~1 ms.  Set
+    DEEPSEE_NATIVE_NO_SELFCHECK=1 to skip (e.g. fuzzing a deliberately
+    mismatched build)."""
+    if os.environ.get("DEEPSEE_NATIVE_NO_SELFCHECK") == "1":
+        return True
+    try:
+        import io
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        return True  # no PIL to compare against (or fall back to) anyway
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, format="JPEG", quality=85)
+    data = buf.getvalue()
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    got = np.empty_like(want)
+    ops = DsnOps()
+    rc = lib.dsn_decode_u8(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
+        len(data), ctypes.byref(ops), 3, want.shape[1], want.shape[0],
+        got.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return rc == OK and bool((got == want).all())
 
 
 def available(build_if_missing: bool = False) -> bool:

@@ -106,10 +106,12 @@ def encode_png(arr: np.ndarray, level: int = 6) -> Optional[bytes]:
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     channels = 3 if arr.ndim == 3 else 1
     h, w = arr.shape[:2]
-    # Worst case: one filter byte per row, zlib stored-block framing
-    # (5 bytes per <=64KiB block) over the filtered stream, plus headers.
+    # Worst case: one filter byte per row, then deflate's worst-case
+    # expansion of ~5 bytes per 16 KiB block (deflateBound-style margin;
+    # stored blocks may be emitted at <=16383-byte granularity), plus
+    # zlib/PNG chunk headers.
     raw = arr.nbytes + h
-    cap = raw + 5 * (raw // 65535 + 1) + 4096
+    cap = raw + 5 * (raw // 16383 + 1) + 4096
     out = np.empty(cap, dtype=np.uint8)
     n = lib.dsn_encode_png(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, channels,

@@ -262,7 +262,14 @@ def complete_for_reference(sd: Mapping[str, Any]) -> Dict[str, Any]:
     Synthesized values are zeros — the reference never reads them.
     """
     out = dict(sd)
-    for key, val in sd.items():
+    if any(k.startswith("encoder_full.") for k in sd):
+        for key, val in sd.items():
+            if key.startswith("final."):
+                out["encoder_full." + key] = torch.zeros_like(val)
+                out["encoder_mini." + key] = torch.zeros_like(val)
+    # Iterate over `out` (not `sd`) so sub-encoder final heads copied above
+    # also get num_batches_tracked if norm_E is ever a batch-norm variant.
+    for key, val in list(out.items()):
         if key.endswith("running_mean"):
             out[key[: -len("running_mean")] + "num_batches_tracked"] = (
                 torch.tensor(0, dtype=torch.int64))
@@ -270,11 +277,6 @@ def complete_for_reference(sd: Mapping[str, Any]) -> Dict[str, Any]:
             base = key[: -len("mlp_style_gamma.weight")]
             out[base + "style_conv.weight"] = torch.zeros(19, 19, 1)
             out[base + "style_conv.bias"] = torch.zeros(19)
-    if any(k.startswith("encoder_full.") for k in sd):
-        for key, val in sd.items():
-            if key.startswith("final."):
-                out["encoder_full." + key] = torch.zeros_like(val)
-                out["encoder_mini." + key] = torch.zeros_like(val)
     return out
 
 
