@@ -66,6 +66,22 @@ int32_t dsn_abi_version(void) { return 3; }
 
 namespace {
 
+// Decompression-bomb guard: the daemon feeds this code untrusted HTTP bytes,
+// so a crafted 100000x100000 header must not become a 30 GB allocation (a
+// bad_alloc crossing the C ABI would abort the process — remote DoS).  The
+// cap is below PIL's own MAX_IMAGE_PIXELS bomb threshold (~178 MP); legit
+// inputs (CelebA-HQ is 1 MP) are orders of magnitude under it, and larger
+// images simply fall back to the PIL path with its own bomb policy.
+constexpr int64_t kMaxPixels = int64_t{1} << 27;  // 134 M pixels
+
+inline bool dims_ok(int64_t w, int64_t h) {
+  // Per-axis caps first: w and h can each be up to 2^32-1 off the wire
+  // (dsn_probe's raw IHDR read), so the product may overflow int64 — found
+  // by the fuzzer (tests/data/codec_corpus/png_ihdr_int64_overflow.bin).
+  return w > 0 && h > 0 && w <= kMaxPixels && h <= kMaxPixels &&
+         w * h <= kMaxPixels;
+}
+
 // ---------------------------------------------------------------------------
 // Pillow-exact resampler (Resample.c).
 // ---------------------------------------------------------------------------
@@ -275,6 +291,28 @@ void jpeg_error_trap(j_common_ptr cinfo) {
   longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
 }
 
+// Corrupt-but-decodable streams make libjpeg print warnings per call — in
+// the serving daemon that is attacker-controlled stderr flooding.  PIL
+// suppresses them too.
+void jpeg_silent_output(j_common_ptr) {}
+
+// Corrupt-data warnings (msg_level -1, e.g. "premature end of data segment")
+// mean libjpeg would gray-fill and carry on — PIL instead raises "image file
+// is truncated".  Decoding must MATCH PIL or decline, so a warning fails the
+// native decode and the caller falls back to PIL (which then raises or
+// decodes identically).  Trace messages (msg_level >= 0) are ignored.
+void jpeg_warn_trap(j_common_ptr cinfo, int msg_level) {
+  if (msg_level < 0) longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+// libpng's default handlers also print to stderr per error/warning; route
+// errors to the setjmp recovery silently (attacker-controlled log flooding,
+// same as the libjpeg case above).
+void png_silent_error(png_structp png, png_const_charp) {
+  png_longjmp(png, 1);
+}
+void png_silent_warn(png_structp, png_const_charp) {}
+
 // channels: 3 = force RGB (gray replicated, like PIL convert("RGB")),
 //           1 = single channel (gray as-is; RGB takes channel 0 like
 //               transforms.py:apply_label_transform's arr[..., 0]).
@@ -287,6 +325,8 @@ int decode_jpeg(const uint8_t* data, size_t len, int channels, int scaled,
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_trap;
+  jerr.pub.output_message = jpeg_silent_output;
+  jerr.pub.emit_message = jpeg_warn_trap;
   std::vector<uint8_t> rowbuf;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
@@ -320,6 +360,10 @@ int decode_jpeg(const uint8_t* data, size_t len, int channels, int scaled,
   jpeg_start_decompress(&cinfo);
   *w = static_cast<int>(cinfo.output_width);
   *h = static_cast<int>(cinfo.output_height);
+  if (!dims_ok(*w, *h)) {  // bomb guard BEFORE the pixel allocation
+    jpeg_destroy_decompress(&cinfo);
+    return DSN_ERR_UNSUPPORTED;
+  }
   int src_ch = cinfo.output_components;  // 1 or 3
   out->resize(static_cast<size_t>(*w) * *h * channels);
   rowbuf.resize(static_cast<size_t>(*w) * src_ch);
@@ -364,7 +408,8 @@ void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
 int decode_png(const uint8_t* data, size_t len, int channels,
                std::vector<uint8_t>* out, int* w, int* h) {
   png_structp png =
-      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, png_silent_error,
+                             png_silent_warn);
   if (!png) return DSN_ERR_DECODE;
   png_infop info = png_create_info_struct(png);
   if (!info) {
@@ -414,6 +459,10 @@ int decode_png(const uint8_t* data, size_t len, int channels,
   png_read_update_info(png, info);
   *w = static_cast<int>(png_get_image_width(png, info));
   *h = static_cast<int>(png_get_image_height(png, info));
+  if (!dims_ok(*w, *h)) {  // bomb guard BEFORE the pixel allocation
+    png_destroy_read_struct(&png, &info, nullptr);
+    return DSN_ERR_UNSUPPORTED;
+  }
   int src_ch = static_cast<int>(png_get_channels(png, info));
   if ((channels == 3 && src_ch != 3) ||
       (channels == 1 && src_ch != 1 && src_ch != 3)) {
@@ -495,6 +544,9 @@ int apply_ops(std::vector<uint8_t>* px, int* w, int* h, int ch,
   }
   // resize
   if (ops->resize_w > 0 && (ops->resize_w != *w || ops->resize_h != *h)) {
+    // Both target dims must be positive and the output bounded: a zero or
+    // negative resize_h would divide by zero / wrap a size_t allocation.
+    if (!dims_ok(ops->resize_w, ops->resize_h)) return DSN_ERR_DIMS;
     std::vector<uint8_t> resized;
     if (ops->resample == DSN_NEAREST) {
       resample_nearest(*px, *w, *h, ch, ops->resize_w, ops->resize_h, &resized);
@@ -512,8 +564,11 @@ int apply_ops(std::vector<uint8_t>* px, int* w, int* h, int ch,
   // crop
   if (ops->crop_w > 0 && (ops->crop_w != *w || ops->crop_h != *h ||
                           ops->crop_x != 0 || ops->crop_y != 0)) {
-    if (ops->crop_x < 0 || ops->crop_y < 0 || ops->crop_x + ops->crop_w > *w ||
-        ops->crop_y + ops->crop_h > *h)
+    if (ops->crop_h <= 0) return DSN_ERR_BOUNDS;
+    // int64 arithmetic: crop_x + crop_w can overflow int32 on hostile ops
+    if (ops->crop_x < 0 || ops->crop_y < 0 ||
+        int64_t{ops->crop_x} + ops->crop_w > *w ||
+        int64_t{ops->crop_y} + ops->crop_h > *h)
       return DSN_ERR_BOUNDS;
     std::vector<uint8_t> cropped(static_cast<size_t>(ops->crop_w) *
                                  ops->crop_h * ch);
@@ -595,52 +650,75 @@ int decode_label_impl(const uint8_t* data, size_t len, const DsnOps* ops,
 
 extern "C" {
 
+// "No exceptions cross the ABI": a hostile stream that still slips an
+// allocation failure (or any other throw) past the guards above must come
+// back as an error code, never std::terminate in the host process.
 int32_t dsn_decode_image(const uint8_t* data, int64_t len, const DsnOps* ops,
                          int32_t expect_w, int32_t expect_h, float* out) {
-  return decode_image_impl(data, static_cast<size_t>(len), ops, expect_w,
-                           expect_h, out);
+  try {
+    return decode_image_impl(data, static_cast<size_t>(len), ops, expect_w,
+                             expect_h, out);
+  } catch (...) {
+    return DSN_ERR_DECODE;
+  }
 }
 
 int32_t dsn_decode_image_file(const char* path, const DsnOps* ops,
                               int32_t expect_w, int32_t expect_h, float* out) {
-  std::vector<uint8_t> buf;
-  int rc = read_file(path, &buf);
-  if (rc != DSN_OK) return rc;
-  return decode_image_impl(buf.data(), buf.size(), ops, expect_w, expect_h,
-                           out);
+  try {
+    std::vector<uint8_t> buf;
+    int rc = read_file(path, &buf);
+    if (rc != DSN_OK) return rc;
+    return decode_image_impl(buf.data(), buf.size(), ops, expect_w, expect_h,
+                             out);
+  } catch (...) {
+    return DSN_ERR_DECODE;
+  }
 }
 
 int32_t dsn_decode_label(const uint8_t* data, int64_t len, const DsnOps* ops,
                          int32_t map255_to, int32_t expect_w, int32_t expect_h,
                          int32_t* out) {
-  return decode_label_impl(data, static_cast<size_t>(len), ops, map255_to,
-                           expect_w, expect_h, out);
+  try {
+    return decode_label_impl(data, static_cast<size_t>(len), ops, map255_to,
+                             expect_w, expect_h, out);
+  } catch (...) {
+    return DSN_ERR_DECODE;
+  }
 }
 
 int32_t dsn_decode_label_file(const char* path, const DsnOps* ops,
                               int32_t map255_to, int32_t expect_w,
                               int32_t expect_h, int32_t* out) {
-  std::vector<uint8_t> buf;
-  int rc = read_file(path, &buf);
-  if (rc != DSN_OK) return rc;
-  return decode_label_impl(buf.data(), buf.size(), ops, map255_to, expect_w,
-                           expect_h, out);
+  try {
+    std::vector<uint8_t> buf;
+    int rc = read_file(path, &buf);
+    if (rc != DSN_OK) return rc;
+    return decode_label_impl(buf.data(), buf.size(), ops, map255_to, expect_w,
+                             expect_h, out);
+  } catch (...) {
+    return DSN_ERR_DECODE;
+  }
 }
 
 // Decode to raw uint8 (server wire path; no normalize).  channels 3 or 1.
 int32_t dsn_decode_u8(const uint8_t* data, int64_t len, const DsnOps* ops,
                       int32_t channels, int32_t expect_w, int32_t expect_h,
                       uint8_t* out) {
-  std::vector<uint8_t> px;
-  int w = 0, h = 0;
-  int rc = sniff_and_decode(data, static_cast<size_t>(len), channels, ops, &px,
-                            &w, &h);
-  if (rc != DSN_OK) return rc;
-  rc = apply_ops(&px, &w, &h, channels, ops);
-  if (rc != DSN_OK) return rc;
-  if (w != expect_w || h != expect_h) return DSN_ERR_DIMS;
-  std::memcpy(out, px.data(), px.size());
-  return DSN_OK;
+  try {
+    std::vector<uint8_t> px;
+    int w = 0, h = 0;
+    int rc = sniff_and_decode(data, static_cast<size_t>(len), channels, ops,
+                              &px, &w, &h);
+    if (rc != DSN_OK) return rc;
+    rc = apply_ops(&px, &w, &h, channels, ops);
+    if (rc != DSN_OK) return rc;
+    if (w != expect_w || h != expect_h) return DSN_ERR_DIMS;
+    std::memcpy(out, px.data(), px.size());
+    return DSN_OK;
+  } catch (...) {
+    return DSN_ERR_DECODE;
+  }
 }
 
 // Probe dims without decoding pixel data.  Returns 0 and fills w/h (and
@@ -652,6 +730,7 @@ int32_t dsn_probe(const uint8_t* data, int64_t len, int32_t* w, int32_t* h) {
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = jpeg_error_trap;
+    jerr.pub.output_message = jpeg_silent_output;
     if (setjmp(jerr.jb)) {
       jpeg_destroy_decompress(&cinfo);
       return DSN_ERR_DECODE;
@@ -669,9 +748,16 @@ int32_t dsn_probe(const uint8_t* data, int64_t len, int32_t* w, int32_t* h) {
     return DSN_OK;
   }
   if (n >= 24 && data[0] == 0x89 && data[1] == 'P') {
-    // IHDR is always the first chunk: width/height big-endian at offset 16
-    *w = (data[16] << 24) | (data[17] << 16) | (data[18] << 8) | data[19];
-    *h = (data[20] << 24) | (data[21] << 16) | (data[22] << 8) | data[23];
+    // IHDR is always the first chunk: width/height big-endian at offset 16.
+    // Shift via int64: data[16] >= 0x80 would overflow int32 << 24 (UB), and
+    // a crafted header must not hand callers negative/absurd dimensions.
+    int64_t pw = (int64_t{data[16]} << 24) | (data[17] << 16) |
+                 (data[18] << 8) | data[19];
+    int64_t ph = (int64_t{data[20]} << 24) | (data[21] << 16) |
+                 (data[22] << 8) | data[23];
+    if (!dims_ok(pw, ph)) return DSN_ERR_DECODE;
+    *w = static_cast<int32_t>(pw);
+    *h = static_cast<int32_t>(ph);
     return DSN_OK;
   }
   return DSN_ERR_FORMAT;
@@ -683,8 +769,14 @@ int32_t dsn_probe(const uint8_t* data, int64_t len, int32_t* w, int32_t* h) {
 int64_t dsn_encode_png(const uint8_t* px, int32_t w, int32_t h,
                        int32_t channels, int32_t level, uint8_t* out,
                        int64_t cap) {
+  if (!dims_ok(w, h) || (channels != 1 && channels != 3) || cap < 0)
+    return DSN_ERR_DIMS;
+  if (level < 0) level = 0;
+  if (level > 9) level = 9;
+  try {
   png_structp png =
-      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, png_silent_error,
+                              png_silent_warn);
   if (!png) return DSN_ERR_DECODE;
   png_infop info = png_create_info_struct(png);
   if (!info) {
@@ -714,6 +806,9 @@ int64_t dsn_encode_png(const uint8_t* px, int32_t w, int32_t h,
   if (static_cast<int64_t>(buf.size()) > cap) return DSN_ERR_CAP;
   std::memcpy(out, buf.data(), buf.size());
   return static_cast<int64_t>(buf.size());
+  } catch (...) {
+    return DSN_ERR_DECODE;
+  }
 }
 
 }  // extern "C"

@@ -394,3 +394,59 @@ def test_unsupported_mode_falls_back_to_pil(tmp_path):
         Image.open(p), d, exp.model, transforms.TransformParams((0, 0), False),
         is_train=False)
     np.testing.assert_array_equal(lib_arr, ref)
+
+
+# ---------------------------------------------------------------------------
+# Hardening: adversarial corpus + hostile ops (round-5; fuzzed under
+# ASAN+UBSAN by scripts/fuzz_codec.py, these pin the guard behavior)
+# ---------------------------------------------------------------------------
+
+CORPUS = os.path.join(os.path.dirname(__file__), "data", "codec_corpus")
+
+
+@pytest.mark.parametrize("name", sorted(os.listdir(CORPUS)))
+def test_adversarial_corpus_never_crashes(name):
+    """Every checked-in adversarial input must come back as a clean PIL
+    fallback (None) from every byte entry point — the serving daemon feeds
+    these functions untrusted HTTP bytes (server.py -> utils/images.py)."""
+    with open(os.path.join(CORPUS, name), "rb") as f:
+        data = f.read()
+    ops = codec.make_ops(resize=(32, 32))
+    assert codec.decode_image(data, ops, (32, 32)) is None
+    assert codec.decode_u8(data, ops, (32, 32)) is None
+    assert codec.decode_label(data, ops, (32, 32), 18) is None
+    codec.probe(data)  # any result, as long as it returns
+
+
+def test_bomb_png_rejected_before_allocation():
+    """A valid PNG declaring 100000x100000 must be refused (UNSUPPORTED ->
+    PIL fallback with its own bomb policy), not allocated."""
+    with open(os.path.join(CORPUS, "png_bomb_ihdr.bin"), "rb") as f:
+        data = f.read()
+    assert codec.decode_image(data, codec.make_ops(), (100000, 100000)) is None
+    # probe also refuses to report absurd dims from a raw IHDR
+    assert codec.probe(data) is None
+
+
+def test_hostile_ops_rejected():
+    rng = np.random.RandomState(13)
+    data = _png(rng.randint(0, 256, (16, 16, 3), np.uint8))
+    imax = 2**31 - 1
+    # zero/negative resize_h; overflowing crop; negative crop_h
+    for ops in [
+        codec.make_ops(resize=(8, 0)),
+        codec.make_ops(resize=(8, -4)),
+        codec.make_ops(resize=(8, 8), crop=(imax, 0, imax, 8)),
+        codec.make_ops(resize=(8, 8), crop=(0, 0, 4, -1)),
+    ]:
+        assert codec.decode_u8(data, ops, (8, 8)) is None
+
+
+def test_selfcheck_gates_load(monkeypatch):
+    """load() runs a one-shot JPEG parity probe vs PIL; on this host's
+    libjpeg it must pass (the .so is in use), and the skip env var works."""
+    lib = native.load()
+    assert lib is not None
+    assert native._selfcheck(lib)
+    monkeypatch.setenv("DEEPSEE_NATIVE_NO_SELFCHECK", "1")
+    assert native._selfcheck(lib)
