@@ -46,6 +46,19 @@ def test_bench_loader_smoke(tmp_path):
     assert "warmup" in (res3.stderr + res3.stdout)
 
 
+def test_bench_eval_smoke():
+    res = _run(["scripts/bench_eval.py", "--name", "tiny_test",
+                "--batch", "2", "--num_samples", "6", "--platform", "cpu"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["metric"].startswith("eval_sweep_tiny_test")
+    assert out["value"] > 0
+    assert out["device_sweep_img_per_s"] > 0
+    assert out["fid_sqrtm_seconds"] >= 0
+    assert out["num_samples"] == 6
+
+
 def test_bench_server_smoke():
     res = _run(["scripts/bench_server.py", "--name", "tiny_test",
                 "--trace_batch", "2", "--clients", "4",
