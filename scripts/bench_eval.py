@@ -112,7 +112,8 @@ def main() -> int:
     device_sweep()  # warm
     device_s = float(np.median([device_sweep() for _ in range(3)]))
 
-    # host sqrtm share (scipy.linalg.sqrtm on 2048x2048, fid.py)
+    # host Frechet share (trace-of-sqrtm on the 2048x2048 covariance pair,
+    # fid.py frechet_distance — the fast symmetric-eig path by default)
     acts = np.asarray(rng.randn(args.num_samples, fid_mod.POOL3_DIM),
                       np.float32)
     t0 = time.perf_counter()

@@ -72,6 +72,28 @@ def test_frechet_distance():
                                rtol=1e-6)
 
 
+def test_frechet_fast_matches_scipy():
+    # the fast symmetric-eigenvalue route must agree with the reference's
+    # literal scipy.linalg.sqrtm route (fid_score.py:138-192) in both the
+    # well-conditioned and the rank-deficient (N < D) regimes
+    rng = np.random.RandomState(7)
+    # well-conditioned: plenty of samples
+    a = rng.randn(300, 32)
+    b = rng.randn(300, 32) * 1.3 + 0.5
+    np.testing.assert_allclose(fid_from_activations(a, b, method="fast"),
+                               fid_from_activations(a, b, method="scipy"),
+                               rtol=1e-8)
+    # rank-deficient covariances: fewer samples than features (the FID-500
+    # fallback regime; scipy Cholesky fails -> eigh fallback inside)
+    a = rng.randn(20, 64)
+    b = rng.randn(20, 64) + 1.0
+    fast = fid_from_activations(a, b, method="fast")
+    ref = fid_from_activations(a, b, method="scipy")
+    np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-6)
+    # identical stats still collapse to ~0 through the fast path
+    assert abs(fid_from_activations(a, a, method="fast")) < 1e-5
+
+
 @pytest.mark.slow
 def test_inception_pool3_shape():
     params, exact = load_inception_params()
