@@ -6,6 +6,7 @@ never matched and a ZeroDivision on one-batch runs) that a smoke like
 this would have caught.  Keep them cheap: small file counts, CPU only.
 """
 
+import pytest
 import json
 import os
 import subprocess
@@ -46,6 +47,7 @@ def test_bench_loader_smoke(tmp_path):
     assert "warmup" in (res3.stderr + res3.stdout)
 
 
+@pytest.mark.slow
 def test_bench_eval_smoke():
     res = _run(["scripts/bench_eval.py", "--name", "tiny_test",
                 "--batch", "2", "--num_samples", "6", "--platform", "cpu"])
@@ -59,6 +61,7 @@ def test_bench_eval_smoke():
     assert out["num_samples"] == 6
 
 
+@pytest.mark.slow
 def test_bench_server_smoke():
     res = _run(["scripts/bench_server.py", "--name", "tiny_test",
                 "--trace_batch", "2", "--clients", "4",

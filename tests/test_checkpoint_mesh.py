@@ -10,6 +10,8 @@ vice versa — and training must continue losslessly from either direction.
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 import jax
 
@@ -89,6 +91,7 @@ def test_single_device_checkpoint_restores_sharded(tmp_path):
         rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_restores_single_device(tmp_path):
     exp = _exp(tmp_path)
     system = SRSystem(exp)

@@ -37,7 +37,8 @@ def _restore_variables(train_exp):
                                   d=None, vgg=None)
 
 
-@pytest.mark.parametrize("guided", [False, True])
+@pytest.mark.parametrize("guided", [
+    False, pytest.param(True, marks=pytest.mark.slow)])
 def test_train_then_demo_evaluate_export(tmp_path, guided):
     exp = tiny_test_experiment().replace(checkpoints_dir=str(tmp_path))
     if guided:

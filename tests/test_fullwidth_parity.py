@@ -4,6 +4,7 @@ The other parity tests shrink channels for speed; this one runs the actual
 8x_128 architecture once in eval mode to catch any width-dependent issue
 (tiling, folded-conv concat order, channel bookkeeping)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -16,6 +17,7 @@ from deepsee_tpu.models.generator import DeepSEEGenerator
 from deepsee_tpu.utils.torch_import import import_torch_state
 
 
+@pytest.mark.slow
 def test_generator_parity_full_width_128():
     from deepsee_models.networks.sr import DeepSEESR
 

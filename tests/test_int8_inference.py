@@ -105,6 +105,7 @@ def test_int8_generator_forward_close_and_uses_s8():
     assert hlo != hlo_fp
 
 
+@pytest.mark.slow
 def test_int8_never_active_in_training_step():
     """Conv2d requires train=False for the quantized path: a train-step
     trace inside the context must stay full-precision on the trunk."""
@@ -164,6 +165,7 @@ def test_quantized_export_roundtrip(tmp_path):
     assert err < 0.05
 
 
+@pytest.mark.slow
 def test_int8_evaluator_run():
     """evaluate.py --int8 semantics: the metric sweep runs with the
     generation traced inside the quantized context and yields finite
@@ -185,6 +187,7 @@ def test_int8_evaluator_run():
         assert key in result and np.isfinite(result[key]), (key, result)
 
 
+@pytest.mark.slow
 def test_int8_under_mesh_matches_single_device():
     """int8 inference composed with the mesh (dp x tp AND dp x sp): the
     quantized program must still trace int8 convolutions and agree with the
@@ -241,6 +244,7 @@ def test_int8_under_mesh_matches_single_device():
             np.testing.assert_allclose(got, want, atol=0.08)
 
 
+@pytest.mark.slow
 def test_int8_export_rejects_unknown_mode():
     from deepsee_tpu.serve import export_serving
 

@@ -9,6 +9,7 @@ prefetching loader -> jitted GAN step, end to end from a real file tree,
 for both model families and both dataset classes.
 """
 
+import pytest
 import csv
 import dataclasses
 import os
@@ -89,6 +90,7 @@ def test_train_from_disk_independent_celeba(tmp_path):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_train_from_disk_guided_hq(tmp_path):
     img_dir, lab_dir, ident = _write_hq_corpus(str(tmp_path))
     exp = tiny_test_experiment(name="disk_guided",

@@ -57,6 +57,7 @@ def test_create_train_state_loads_vgg_weights(tmp_path):
         create_train_state(SRSystem(exp_bad), jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_training_eval_hook_writes_fid_history(tmp_path):
     exp = tiny_test_experiment().replace(checkpoints_dir=str(tmp_path))
     exp = exp.replace(train=dataclasses.replace(

@@ -1,5 +1,6 @@
 """Smoke + multi-device tests for the fused GAN training step."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -94,6 +95,7 @@ def test_train_step_multichip_matches_single():
     np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_multislice_matches_single():
     """Multi-slice layout (leading "dcn" axis = data parallelism across
     slices): dcn2 x dp2 x tp2 must reproduce the single-device step — the
@@ -136,6 +138,7 @@ def test_train_step_multislice_matches_single():
     np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_training_dynamics_overfit_one_batch():
     """Gradient/TTUR wiring sanity: overfitting one batch must drive the
     perceptual loss down while the hinge D losses stay near equilibrium."""
@@ -156,6 +159,7 @@ def test_training_dynamics_overfit_one_batch():
     assert 0.05 < last["D_real"] < 2.5
 
 
+@pytest.mark.slow
 def test_reuse_fake_single_forward_schedule():
     """Opt-in `reuse_fake` (TrainConfig): D trains on the G-step fake
     instead of regenerating with the just-updated G (deviation from
@@ -207,6 +211,7 @@ def test_reuse_fake_single_forward_schedule():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")
