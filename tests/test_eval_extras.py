@@ -84,7 +84,9 @@ def test_frechet_fast_matches_scipy():
                                fid_from_activations(a, b, method="scipy"),
                                rtol=1e-8)
     # rank-deficient covariances: fewer samples than features (the FID-500
-    # fallback regime; scipy Cholesky fails -> eigh fallback inside)
+    # fallback regime) — fid_from_activations takes the cross-Gram nuclear
+    # norm route here (_fid_from_grams); it must agree with the reference's
+    # literal sqrtm of the singular covariance product
     a = rng.randn(20, 64)
     b = rng.randn(20, 64) + 1.0
     fast = fid_from_activations(a, b, method="fast")
@@ -92,6 +94,35 @@ def test_frechet_fast_matches_scipy():
     np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-6)
     # identical stats still collapse to ~0 through the fast path
     assert abs(fid_from_activations(a, a, method="fast")) < 1e-5
+
+
+def test_frechet_gram_route_matches_covariance_routes():
+    from deepsee_tpu.eval.fid import _fid_from_grams, calculate_statistics
+
+    rng = np.random.RandomState(11)
+    # Inception-like nonnegative activations, n < D (Gram route eligible)
+    a = np.abs(rng.randn(40, 96)) ** 1.3
+    b = np.abs(rng.randn(56, 96)) ** 1.3 * 1.1 + 0.05
+    gram = _fid_from_grams(a, b)
+    mu1, s1 = calculate_statistics(a)
+    mu2, s2 = calculate_statistics(b)
+    # vs the symmetric-eig covariance path (its rank-deficient eigh branch)
+    sym = frechet_distance(mu1, s1, mu2, s2, method="fast")
+    np.testing.assert_allclose(gram, sym, rtol=1e-6, atol=1e-8)
+    # vs the reference's literal scipy sqrtm path
+    ref = frechet_distance(mu1, s1, mu2, s2, method="scipy")
+    np.testing.assert_allclose(gram, ref, rtol=1e-4, atol=1e-6)
+    # n > D must route to the covariance path and still agree (crossover)
+    a = rng.randn(200, 24)
+    b = rng.randn(180, 24) * 1.2 + 0.3
+    np.testing.assert_allclose(fid_from_activations(a, b, method="fast"),
+                               fid_from_activations(a, b, method="scipy"),
+                               rtol=1e-7)
+    # asymmetric eligibility: one side above D, one below -> covariance path
+    a = rng.randn(30, 24)
+    np.testing.assert_allclose(fid_from_activations(a, b, method="fast"),
+                               fid_from_activations(a, b, method="scipy"),
+                               rtol=1e-6, atol=1e-7)
 
 
 @pytest.mark.slow
