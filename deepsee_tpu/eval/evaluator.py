@@ -135,6 +135,15 @@ class InferenceEvaluator:
 
         self._infer = jax.jit(self._infer_impl)
         self._metrics = jax.jit(self._metrics_impl)
+        # One fused dispatch for the sweep loop: generate + all metrics +
+        # both Inception activation sets in a single compiled program (the
+        # split _infer/_metrics pair stays for callers that need the images).
+        self._sweep = jax.jit(
+            lambda g, e, b: self._metrics_impl(*self._infer_impl(g, e, b)))
+        # In-flight batches during `run`: the host preps/transfers batch N+1
+        # while the device computes batch N.  Kept small — deep independent
+        # enqueue chains can hang the axon tunnel (see CLAUDE.md).
+        self.pipeline_depth = 2
 
     def _infer_impl(self, g_vars, e_vars, batch):
         pre = self.system.preprocess(batch)
@@ -182,25 +191,38 @@ class InferenceEvaluator:
         # each host sweeps its 1/N stripe; together they cover num_samples
         local_target = -(-self.num_samples // jax.process_count())
 
-        for batch in dataloader:
-            if n_seen >= local_target:
-                break
-            fake, real = self.run_batch(variables, batch)
-            m = jax.device_get(self._metrics(fake, real))
+        from collections import deque
+        pending: deque = deque()  # (paths, device-resident metrics dict)
+
+        def drain_one():
+            paths, mdev = pending.popleft()
+            m = jax.device_get(mdev)
             for name in metric_names:
                 rows[name].append(np.atleast_1d(np.asarray(m[name])))
             if self.compute_fid:
                 act_fake.append(m["act_fake"])
                 act_real.append(m["act_real"])
             if self.writer is not None:
-                paths = batch.get("path", [""] * len(m["psnr"]))
                 for i in range(len(m["psnr"])):
                     self.writer.append_line([
                         os.path.splitext(os.path.basename(paths[i]))[0],
                         m["psnr"][i], m["ssim"][i], m["ms_ssim"][i],
                         m["rmse"][i],
                         m["lpips"][i] if self.compute_lpips else ""])
-            n_seen += len(m["psnr"])
+
+        for batch in dataloader:
+            if n_seen >= local_target:
+                break
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                            if not isinstance(v, list)}
+            bsize = int(device_batch["image_hr"].shape[0])
+            mdev = self._sweep(variables.g, variables.e, device_batch)
+            pending.append((batch.get("path", [""] * bsize), mdev))
+            n_seen += bsize
+            while len(pending) >= self.pipeline_depth:
+                drain_one()
+        while pending:
+            drain_one()
 
         local = {name: (np.concatenate(v, 0) if v
                         else np.zeros((0,), np.float32))
