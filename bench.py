@@ -38,7 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 V100_BASELINE_IPS = 6.0
-# batch 32 halves the tunnel-RTT share vs 16: 100.8 vs 97.5 img/s measured
+# batch 32 halves the tunnel-RTT share vs 16: 100.8 vs 97.5 img/s measured;
+# batch 64 does not compile (XLA: 24.00G of 15.75G hbm — the 256^2 trunk's
+# activations scale with batch), so 32 is the largest power-of-two shape
 DEFAULT_BATCH = 32
 CALLS = 12
 
